@@ -1,0 +1,75 @@
+"""Headline benchmark: YOLO11n 640x640 end-to-end inference throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: BASELINE.json north star >= 2000 images/sec/chip on v5e.
+
+The measured step is the full deploy path on one chip: model forward (bf16
+compute) + DFL decode + confidence filter + class-agnostic NMS — all inside
+a single jit program, batched.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from yolo_scratch_tpu.models.builder import build_yolo11
+    from yolo_scratch_tpu.ops.decode import postprocess
+
+    img, ch, nc = 640, 1, 5
+    batch = int(__import__("os").environ.get("BENCH_BATCH", "32"))
+    model = build_yolo11("yolo_scratch_tpu/configs/yolo11_crater.yaml", ch=ch, nc=nc, scale="n")
+    variables = model.init(jax.random.PRNGKey(0), np.zeros((1, img, img, ch), np.float32))
+
+    # bf16 weights + activations for the deploy path; BN stats stay f32.
+    variables = {
+        "params": jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), variables["params"]),
+        "batch_stats": variables["batch_stats"],
+    }
+
+    @jax.jit
+    def infer(variables, x):
+        feats = model.apply(variables, x.astype(jnp.bfloat16), train=False)
+        decoded = model.decode([f.astype(jnp.float32) for f in feats])
+        return postprocess(decoded, img_size=img, conf_threshold=0.25,
+                           iou_threshold=0.45, max_det=300, pre_nms_topk=512)
+
+    x = jnp.asarray(np.random.RandomState(0).rand(batch, img, img, ch), jnp.float32)
+
+    def sync(out):
+        # NOTE: under the axon TPU tunnel, block_until_ready returns before
+        # device work completes; fetching the (small) output bytes is the
+        # only honest sync.
+        return [np.asarray(o) for o in out]
+
+    # compile + warmup
+    sync(infer(variables, x))
+    sync(infer(variables, x))
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer(variables, x)
+    sync(out)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "yolo11n_640_infer_images_per_sec_per_chip",
+                "value": round(imgs_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(imgs_per_sec / 2000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

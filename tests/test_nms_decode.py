@@ -1,0 +1,107 @@
+"""NMS + postprocess: parity vs the reference host implementation."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import requires_reference
+
+
+def _random_boxes(seed, n=40, img=64.0):
+    rng = np.random.RandomState(seed)
+    centers = rng.rand(n, 2) * img
+    wh = rng.rand(n, 2) * 25 + 3
+    boxes = np.concatenate([centers - wh / 2, centers + wh / 2], -1).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    return boxes, scores
+
+
+@requires_reference
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("iou_t", [0.45, 0.7])
+def test_nms_parity(reference_path, seed, iou_t):
+    import torch
+    from train_yolo11_cuda import nms_simple
+
+    from yolo_scratch_tpu.ops.nms import nms
+
+    boxes, scores = _random_boxes(seed)
+    ref_keep = nms_simple(torch.from_numpy(boxes), torch.from_numpy(scores), iou_t)
+
+    keep_mask = np.asarray(nms(boxes, scores, iou_threshold=iou_t, max_det=300))
+    ours = set(np.nonzero(keep_mask)[0].tolist())
+    assert ours == set(ref_keep)
+
+
+def test_nms_max_det_and_validity():
+    from yolo_scratch_tpu.ops.nms import nms
+
+    boxes, scores = _random_boxes(3, n=30)
+    # spread boxes far apart so nothing suppresses; max_det must cap count
+    boxes = boxes + (np.arange(30)[:, None] * 200.0).astype(np.float32)
+    keep = np.asarray(nms(boxes, scores, iou_threshold=0.5, max_det=5))
+    assert keep.sum() == 5
+    # the 5 kept are the top-5 scores
+    top5 = set(np.argsort(-scores)[:5].tolist())
+    assert set(np.nonzero(keep)[0].tolist()) == top5
+
+    valid = scores > 0.5
+    keep = np.asarray(nms(boxes, scores, iou_threshold=0.5, max_det=300, valid=valid))
+    assert not (keep & ~valid).any()
+
+
+def test_postprocess_shapes_and_threshold():
+    from yolo_scratch_tpu.ops.decode import postprocess
+
+    rng = np.random.RandomState(0)
+    B, A, nc = 2, 100, 5
+    pred = np.zeros((B, A, 4 + nc), np.float32)
+    pred[..., 0:2] = rng.rand(B, A, 2) * 64  # centers
+    pred[..., 2:4] = rng.rand(B, A, 2) * 10 + 2  # wh
+    pred[..., 4:] = rng.rand(B, A, nc) * 0.2  # low scores
+    pred[0, 7, 4] = 0.9  # one confident detection in image 0
+
+    boxes, scores, labels, valid = postprocess(
+        pred, img_size=64, conf_threshold=0.25, iou_threshold=0.45, max_det=10, pre_nms_topk=50
+    )
+    assert boxes.shape == (2, 10, 4) and valid.shape == (2, 10)
+    assert int(valid[0].sum()) >= 1 and int(valid[1].sum()) == 0
+    assert float(scores[0, 0]) == pytest.approx(0.9, abs=1e-6)
+    assert int(labels[0, 0]) == 0
+    assert (np.asarray(boxes) >= 0).all() and (np.asarray(boxes) <= 1).all()
+
+
+@requires_reference
+def test_postprocess_parity_full(reference_path):
+    """Full postprocess vs decode_predictions_for_metrics on random preds."""
+    import torch
+    from train_yolo11_cuda import decode_predictions_for_metrics
+
+    from yolo_scratch_tpu.ops.decode import postprocess
+
+    rng = np.random.RandomState(5)
+    B, A, nc, img = 2, 120, 5, 64
+    pred = np.zeros((B, A, 4 + nc), np.float32)
+    pred[..., 0:2] = rng.rand(B, A, 2) * img
+    pred[..., 2:4] = rng.rand(B, A, 2) * 20 + 2
+    pred[..., 4:] = rng.rand(B, A, nc).astype(np.float32)
+
+    ref = decode_predictions_for_metrics(
+        torch.from_numpy(pred), img, conf_threshold=0.25, iou_threshold=0.45,
+        device=torch.device("cpu"),
+    )
+    boxes, scores, labels, valid = postprocess(
+        pred, img_size=img, conf_threshold=0.25, iou_threshold=0.45, max_det=300,
+        pre_nms_topk=A,
+    )
+    for b in range(B):
+        nv = int(valid[b].sum())
+        r = ref[b]
+        assert nv == len(r["scores"])
+        order = np.argsort(-r["scores"].numpy(), kind="stable")
+        np.testing.assert_allclose(
+            np.asarray(scores[b][:nv]), r["scores"].numpy()[order], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(boxes[b][:nv]), r["boxes"].numpy()[order], rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(labels[b][:nv]), r["labels"].numpy()[order])

@@ -1,0 +1,107 @@
+"""End-to-end training smoke: loss decreases; dp sharding matches single-device."""
+
+import numpy as np
+import pytest
+
+IMG, CH, NC, G = 64, 1, 5, 8
+
+
+def _tiny_setup(seed=0, use_ema=False):
+    import jax
+    from yolo_scratch_tpu.losses.v8_loss import DetectionLossConfig
+    from yolo_scratch_tpu.models.builder import build_yolo11
+    from yolo_scratch_tpu.train.optim import make_optimizer
+    from yolo_scratch_tpu.train.state import create_train_state
+
+    model = build_yolo11(
+        "yolo_scratch_tpu/configs/yolo11_crater.yaml", ch=CH, nc=NC, scale="n"
+    )
+    tx = make_optimizer(2e-3)
+    state = create_train_state(
+        model, jax.random.PRNGKey(seed), np.zeros((1, IMG, IMG, CH), np.float32), tx,
+        use_ema=use_ema,
+    )
+    cfg = DetectionLossConfig(nc=NC, strides=model.strides)
+    return model, state, cfg
+
+
+def _batch(B=4, seed=0):
+    from yolo_scratch_tpu.data.loader import Loader
+    from yolo_scratch_tpu.data.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(n=B, img_size=IMG, channels=CH, num_classes=NC, seed=seed)
+    loader = Loader(ds, batch_size=B, max_gt=G, prefetch=0)
+    return next(iter(loader))
+
+
+def test_train_loss_decreases():
+    from yolo_scratch_tpu.train.steps import make_train_step
+
+    model, state, cfg = _tiny_setup(use_ema=True)
+    step = make_train_step(model, cfg, donate=False)
+    batch = _batch()
+
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    # EMA params drifted from init and stayed finite
+    import jax
+
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(state.ema_params))
+
+
+def test_dp_sharded_matches_single_device():
+    import jax
+    from yolo_scratch_tpu.parallel.mesh import (
+        make_mesh, make_sharded_train_step, replicate, shard_batch,
+    )
+    from yolo_scratch_tpu.train.steps import make_train_step
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+
+    model, state, cfg = _tiny_setup()
+    batch = _batch(B=8)
+
+    # single-device
+    step1 = make_train_step(model, cfg, donate=False)
+    s1, m1 = step1(state, batch)
+
+    # 4-way dp
+    mesh = make_mesh(4)
+    step4 = make_sharded_train_step(model, cfg, mesh, donate=False)
+    s4, m4 = step4(replicate(state, mesh), shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]), rtol=1e-4)
+    # parameters after one step agree (sync-BN + global grad reduce == single device)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l4 = jax.tree_util.tree_leaves(s4.params)
+    for a, b in zip(l1, l4):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5)
+
+
+def test_eval_step_runs():
+    from yolo_scratch_tpu.train.steps import make_eval_step
+
+    model, state, cfg = _tiny_setup()
+    ev = make_eval_step(model, cfg, conf_threshold=0.01, max_det=20, pre_nms_topk=64)
+    metrics, (boxes, scores, labels, valid) = ev(state, _batch())
+    assert np.isfinite(float(metrics["loss"]))
+    assert boxes.shape[1] == 20
+
+
+def test_lr_schedule_matches_reference_shape():
+    from yolo_scratch_tpu.train.optim import cosine_epoch_schedule
+
+    sched = cosine_epoch_schedule(1e-3, epochs=10, steps_per_epoch=5, warmup_epochs=3)
+    # epoch 0 -> lr_min
+    assert float(sched(0)) == pytest.approx(1e-5)
+    # epoch 2 (steps 10-14) -> lr_min + (max-min)*2/3
+    assert float(sched(12)) == pytest.approx(1e-5 + (1e-3 - 1e-5) * 2 / 3, rel=1e-6)
+    # epoch 3 -> cosine start = lr_max
+    assert float(sched(15)) == pytest.approx(1e-3, rel=1e-6)
+    # final epoch ~ lr_min region
+    assert float(sched(49)) < 1.2e-4

@@ -1,0 +1,10 @@
+from yolo_scratch_tpu.ops.boxes import (  # noqa: F401
+    bbox_iou,
+    pairwise_iou,
+    xywh2xyxy,
+    xyxy2xywh,
+    dist2bbox,
+    bbox2dist,
+)
+from yolo_scratch_tpu.ops.anchors import make_anchors  # noqa: F401
+from yolo_scratch_tpu.ops.nms import nms, batched_nms  # noqa: F401

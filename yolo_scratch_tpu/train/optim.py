@@ -1,0 +1,50 @@
+"""Optimizer + LR schedule.
+
+Parity target: reference AdamW(lr=1e-3, wd=5e-4) (``train_yolo11_cuda.py:
+565-569``), grad-clip 10.0 (``:60``), per-epoch warmup+cosine schedule
+(``cosine_lr_schedule``, ``:440-451``): 3 linear-warmup epochs from
+``lr_min = 0.01*lr_max``, then cosine down to ``lr_min``. The reference sets
+the LR once per epoch; we evaluate the same piecewise function per *step*
+with ``epoch = step // steps_per_epoch`` so schedules match exactly at equal
+batch layout.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import optax
+
+
+def cosine_epoch_schedule(
+    lr_max: float,
+    epochs: int,
+    steps_per_epoch: int,
+    warmup_epochs: int = 3,
+    lr_min: float | None = None,
+) -> optax.Schedule:
+    if lr_min is None:
+        lr_min = lr_max * 0.01
+
+    def schedule(step):
+        epoch = jnp.floor_divide(step, steps_per_epoch).astype(jnp.float32)
+        warm = lr_min + (lr_max - lr_min) * (epoch / warmup_epochs)
+        progress = (epoch - warmup_epochs) / max(epochs - warmup_epochs, 1)
+        cos = lr_min + (lr_max - lr_min) * 0.5 * (1 + jnp.cos(jnp.pi * progress))
+        return jnp.where(epoch < warmup_epochs, warm, cos)
+
+    return schedule
+
+
+def make_optimizer(
+    learning_rate: float | optax.Schedule = 1e-3,
+    weight_decay: float = 5e-4,
+    clip_norm: float = 10.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """clip-by-global-norm -> AdamW (torch-default betas/eps)."""
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay),
+    )

@@ -1,0 +1,106 @@
+"""Jitted train / eval steps.
+
+The reference's per-step hot loop (``train_one_epoch``,
+``train_yolo11_cuda.py:31-98``) does forward, loss, backward, clip, step as
+separate host-driven calls with ``.item()`` syncs each iteration. Here the
+whole step — forward (BN batch-stat update), loss (incl. TAL assignment),
+backward, clip, AdamW, EMA — is ONE compiled XLA program; metrics come back
+as a small device array, fetched asynchronously by the caller.
+
+Batches are dicts of fixed-shape arrays:
+  img        (B, H, W, C) float32
+  gt_labels  (B, G) int32
+  gt_bboxes  (B, G, 4) float32, normalized xyxy, zero-padded
+  gt_mask    (B, G) bool
+
+Under a ``Mesh`` with the batch sharded on the ``dp`` axis and state
+replicated, jit inserts the gradient/BN psums over ICI automatically
+(single logical computation); see ``yolo_scratch_tpu/parallel``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from yolo_scratch_tpu.losses.v8_loss import DetectionLossConfig, v8_detection_loss
+from yolo_scratch_tpu.train.state import TrainState
+
+
+def build_train_step(model, loss_cfg: DetectionLossConfig):
+    """Returns the *unjitted* ``train_step(state, batch) -> (state, metrics)``
+    (for callers that re-jit with explicit shardings, e.g. the dp mesh)."""
+
+    def step(state: TrainState, batch: Dict[str, Any]):
+        def loss_fn(params):
+            feats, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["img"],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            total, items = v8_detection_loss(
+                feats, batch["gt_labels"], batch["gt_bboxes"], batch["gt_mask"], loss_cfg
+            )
+            return total, (items, mutated["batch_stats"])
+
+        (loss, (items, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.replace(batch_stats=new_bs).apply_gradients(grads)
+        metrics = {
+            "loss": loss,
+            "box_loss": items[0],
+            "cls_loss": items[1],
+            "dfl_loss": items[2],
+        }
+        return state, metrics
+
+    return step
+
+
+def make_train_step(model, loss_cfg: DetectionLossConfig, donate: bool = True):
+    """Returns jitted ``train_step(state, batch) -> (state, metrics)``."""
+    return jax.jit(build_train_step(model, loss_cfg), donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, loss_cfg: DetectionLossConfig, conf_threshold: float = 0.25,
+                   iou_threshold: float = 0.45, max_det: int = 300, pre_nms_topk: int = 1000,
+                   use_ema: bool = False):
+    """Returns jitted ``eval_step(state, batch) -> (metrics, detections)``.
+
+    Detections are fixed-shape (B, max_det, 6) rows of
+    [x1, y1, x2, y2, score, label] in normalized coords + a validity mask —
+    the on-device equivalent of ``decode_predictions_for_metrics`` + NMS
+    (``train_yolo11_cuda.py:265-399``).
+    """
+    from yolo_scratch_tpu.ops.decode import postprocess
+
+    def step(state: TrainState, batch: Dict[str, Any]):
+        params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
+        feats = model.apply(
+            {"params": params, "batch_stats": state.batch_stats}, batch["img"], train=False
+        )
+        total, items = v8_detection_loss(
+            feats, batch["gt_labels"], batch["gt_bboxes"], batch["gt_mask"], loss_cfg
+        )
+        decoded = model.decode(feats)  # (B, A, 4+nc) xywh pixels + sigmoid cls
+        img_size = batch["img"].shape[1]
+        boxes, scores, labels, valid = postprocess(
+            decoded,
+            img_size=img_size,
+            conf_threshold=conf_threshold,
+            iou_threshold=iou_threshold,
+            max_det=max_det,
+            pre_nms_topk=pre_nms_topk,
+        )
+        metrics = {
+            "loss": total,
+            "box_loss": items[0],
+            "cls_loss": items[1],
+            "dfl_loss": items[2],
+        }
+        return metrics, (boxes, scores, labels, valid)
+
+    return jax.jit(step)
