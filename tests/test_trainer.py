@@ -1,0 +1,65 @@
+"""Trainer: fit loop, checkpoint last/best policy, resume."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+def _make_trainer(tmp_path, epochs=2, use_ckpt=True):
+    from yolo_scratch_tpu.data.loader import Loader
+    from yolo_scratch_tpu.data.synthetic import SyntheticDataset
+    from yolo_scratch_tpu.models.builder import build_yolo11
+    from yolo_scratch_tpu.train.trainer import Trainer, TrainerConfig
+
+    ds = SyntheticDataset(n=8, img_size=64, channels=1, num_classes=5)
+    train_loader = Loader(ds, batch_size=4, max_gt=8, shuffle=True, prefetch=0)
+    val_loader = Loader(ds, batch_size=4, max_gt=8, prefetch=0, indices=[0, 1, 2, 3])
+    model = build_yolo11("yolo_scratch_tpu/configs/yolo11_crater.yaml", ch=1, nc=5, scale="n")
+    cfg = TrainerConfig(
+        epochs=epochs,
+        lr=1e-3,
+        val_conf=0.01,
+        save_dir=str(tmp_path / "run") if use_ckpt else None,
+        pre_nms_topk=64,
+        max_det=20,
+    )
+    return Trainer(model, train_loader, val_loader, cfg)
+
+
+def test_fit_and_resume(tmp_path):
+    trainer = _make_trainer(tmp_path, epochs=2)
+    result = trainer.fit(resume=False)
+    assert len(result["history"]) == 2
+    for h in result["history"]:
+        assert np.isfinite(h["train"]["loss"])
+        assert "mAP50" in h["val"]
+
+    run = Path(tmp_path / "run")
+    assert (run / "last.meta.json").exists()
+    meta = json.loads((run / "last.meta.json").read_text())
+    assert meta["epoch"] == 1
+
+    # resume continues from epoch 2
+    trainer2 = _make_trainer(tmp_path, epochs=3)
+    assert trainer2.resume()
+    assert trainer2.start_epoch == 2
+    # restored step counter matches 2 epochs * 2 steps
+    assert int(np.asarray(trainer2.state.step)) == 4
+
+
+def test_checkpoint_best_policy(tmp_path):
+    from yolo_scratch_tpu.train.checkpoints import CheckpointManager
+
+    trainer = _make_trainer(tmp_path, epochs=1, use_ckpt=False)
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+
+    bl, bm, saved = mgr.save_epoch(trainer.state, 0, {}, {"mAP50": 0.5, "loss": 1.0},
+                                   float("inf"), 0.0)
+    assert saved and bm == 0.5
+    bl, bm, saved = mgr.save_epoch(trainer.state, 1, {}, {"mAP50": 0.3, "loss": 0.5}, bl, bm)
+    assert not saved and bm == 0.5
+    # loss-gated fallback when mAP absent
+    bl, bm, saved = mgr.save_epoch(trainer.state, 2, {}, {"loss": 0.4}, bl, bm)
+    assert saved and bl == 0.4

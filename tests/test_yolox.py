@@ -1,0 +1,129 @@
+"""YOLOX family: shapes, decode geometry, SimOTA properties, training step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_yolox_shapes_and_decode():
+    from yolo_scratch_tpu.models.yolox import YOLOXModel
+
+    model = YOLOXModel.from_scale("nano", nc=7)
+    x = np.zeros((1, 128, 128, 3), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    outs = model.apply(variables, x, train=False)
+    assert [o.shape for o in outs] == [
+        (1, 16, 16, 4 + 1 + 7),
+        (1, 8, 8, 12),
+        (1, 4, 4, 12),
+    ]
+    dec = model.decode(outs)
+    assert dec.shape == (1, 16 * 16 + 8 * 8 + 4 * 4, 4 + 1 + 7)
+    # obj/cls are probabilities
+    assert float(dec[..., 4:].min()) >= 0 and float(dec[..., 4:].max()) <= 1
+
+
+def test_yolox_decode_geometry():
+    """A raw reg of zeros decodes to a stride-sized box at the cell corner."""
+    from yolo_scratch_tpu.models.yolox import yolox_decode
+
+    nc = 2
+    outs = [np.zeros((1, 4, 4, 5 + nc), np.float32)]
+    dec = np.asarray(yolox_decode(outs, nc, [8.0]))
+    # anchor (0,0): xy = (0+0)*8 = 0, wh = exp(0)*8 = 8 -> xyxy (-4,-4,4,4)
+    np.testing.assert_allclose(dec[0, 0, :4], [-4, -4, 4, 4], atol=1e-5)
+    # anchor at grid (x=1, y=0) -> center (8, 0)
+    np.testing.assert_allclose(dec[0, 1, :4], [4, -4, 12, 4], atol=1e-5)
+
+
+def test_simota_assignment_properties():
+    from yolo_scratch_tpu.losses.simota import simota_assign
+    from yolo_scratch_tpu.ops.anchors import make_anchors
+
+    rng = np.random.RandomState(0)
+    anchor_points, stride_t = make_anchors([(8, 8, 8.0), (4, 4, 16.0)], 0.0)
+    A = anchor_points.shape[0]
+    nc, G = 3, 4
+
+    # predictions that sit exactly on a grid of boxes
+    centers = (np.asarray(anchor_points) + 0.5) * np.asarray(stride_t)
+    wh = np.full((A, 2), 16.0, np.float32)
+    pred_boxes = np.concatenate([centers - wh / 2, centers + wh / 2], -1).astype(np.float32)
+    obj = rng.randn(A).astype(np.float32)
+    cls = rng.randn(A, nc).astype(np.float32)
+
+    gt = np.zeros((G, 4), np.float32)
+    gl = np.zeros((G,), np.int64)
+    gm = np.zeros((G,), bool)
+    gt[0] = [8, 8, 28, 28]
+    gl[0] = 1
+    gm[0] = True
+    gt[1] = [40, 36, 60, 62]
+    gl[1] = 2
+    gm[1] = True
+
+    res = simota_assign(
+        pred_boxes, obj, cls, np.asarray(anchor_points), np.asarray(stride_t)[:, 0],
+        gt, gl, gm,
+    )
+    fg = np.asarray(res.fg_mask)
+    mg = np.asarray(res.matched_gt)
+    assert fg.sum() >= 2  # both GTs matched at least one anchor
+    assert set(mg[fg]).issubset({0, 1})
+    for g in (0, 1):
+        assert (mg[fg] == g).any(), f"gt {g} unmatched"
+    # matched anchors overlap their GT
+    assert np.asarray(res.matched_iou)[fg].min() > 0.05
+    # no fg on padded GT columns
+    assert not (mg[fg] >= 2).any()
+
+
+def test_yolox_loss_decreases():
+    from yolo_scratch_tpu.losses.simota import YOLOXLossConfig, yolox_loss
+    from yolo_scratch_tpu.models.yolox import YOLOXModel
+
+    import optax
+
+    model = YOLOXModel.from_scale("nano", nc=5)
+    rng = np.random.RandomState(0)
+    B, S, G = 2, 64, 4
+    x = rng.rand(B, S, S, 3).astype(np.float32)
+    gl = np.zeros((B, G), np.int32)
+    gb = np.zeros((B, G, 4), np.float32)
+    gm = np.zeros((B, G), bool)
+    gb[0, 0] = [0.2, 0.2, 0.6, 0.7]
+    gl[0, 0] = 3
+    gm[0, 0] = True
+    gb[1, 0] = [0.4, 0.1, 0.9, 0.5]
+    gm[1, 0] = True
+
+    variables = model.init(jax.random.PRNGKey(0), x)
+    cfg = YOLOXLossConfig(nc=5, use_l1=True)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(variables["params"])
+
+    @jax.jit
+    def step(params, batch_stats, opt_state):
+        def loss_fn(p):
+            outs, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x, train=True,
+                mutable=["batch_stats"],
+            )
+            total, aux = yolox_loss(outs, gl, gb, gm, cfg)
+            return total, (aux, mut["batch_stats"])
+
+        (loss, (aux, bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, bs, opt_state, loss, aux
+
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    losses = []
+    for _ in range(10):
+        params, batch_stats, opt_state, loss, aux = step(params, batch_stats, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert float(aux["num_fg"]) > 0

@@ -1,0 +1,140 @@
+"""Checkpointing: orbax-backed last/best policy with resume.
+
+Parity target: reference saves a dict {epoch, model_state_dict,
+optimizer_state_dict, train_metrics, val_metrics, best_loss, best_mAP50}
+as ``last.pt`` every epoch and ``best.pt`` gated on mAP50 (else val-loss)
+(``train_yolo11_cuda.py:628-653``); resume restores model+optimizer+epoch+
+bests (``:576-587``). Same policy here over the TrainState pytree.
+
+Reference ``.pt`` checkpoints import through
+``yolo_scratch_tpu.utils.torch_import.load_reference_checkpoint``.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _to_numpy_tree(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+class CheckpointManager:
+    """Saves ``last`` every epoch and ``best`` on improvement.
+
+    Uses orbax's StandardCheckpointer when available, with a plain
+    npz+json fallback (1-core CI environments)."""
+
+    def __init__(self, save_dir: str, use_orbax: bool = True):
+        self.dir = Path(save_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self._orbax = None
+        if use_orbax:
+            try:
+                import orbax.checkpoint as ocp
+
+                self._orbax = ocp.StandardCheckpointer()
+            except Exception:
+                self._orbax = None
+
+    # -- low-level ---------------------------------------------------------
+
+    def _save_tree(self, name: str, tree: Dict[str, Any]) -> None:
+        path = (self.dir / name).resolve()
+        if self._orbax is not None:
+            self._orbax.save(path, _to_numpy_tree(tree), force=True)
+            # orbax save is async-capable; wait so 'last' is crash-consistent
+            self._orbax.wait_until_finished()
+        else:
+            flat, treedef = jax.tree_util.tree_flatten(_to_numpy_tree(tree))
+            np.savez(str(path) + ".npz", *flat)
+            (self.dir / (name + ".treedef.json")).write_text(str(treedef))
+
+    def _restore_tree(self, name: str, target: Dict[str, Any]) -> Dict[str, Any]:
+        path = (self.dir / name).resolve()
+        if self._orbax is not None and path.is_dir():
+            return self._orbax.restore(path, target=_to_numpy_tree(target))
+        npz = np.load(str(path) + ".npz", allow_pickle=False)
+        flat = [npz[k] for k in npz.files]
+        treedef = jax.tree_util.tree_structure(target)
+        return jax.tree_util.tree_unflatten(treedef, flat)
+
+    # -- policy ------------------------------------------------------------
+
+    def save_epoch(
+        self,
+        state,
+        epoch: int,
+        train_metrics: Dict[str, float],
+        val_metrics: Dict[str, float],
+        best_loss: float,
+        best_map50: float,
+    ) -> Tuple[float, float, bool]:
+        """Save ``last``; maybe save ``best``. Returns
+        (best_loss, best_map50, saved_best)."""
+        tree = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "ema_params": state.ema_params if state.ema_params is not None else {},
+            "step": state.step,
+        }
+        meta = {
+            "epoch": epoch,
+            "train_metrics": train_metrics,
+            "val_metrics": val_metrics,
+            "best_loss": best_loss,
+            "best_mAP50": best_map50,
+        }
+        self._save_tree("last", tree)
+        (self.dir / "last.meta.json").write_text(json.dumps(meta))
+
+        saved_best = False
+        if "mAP50" in val_metrics:
+            if val_metrics["mAP50"] > best_map50:
+                best_map50 = float(val_metrics["mAP50"])
+                meta["best_mAP50"] = best_map50
+                self._save_tree("best", tree)
+                (self.dir / "best.meta.json").write_text(json.dumps(meta))
+                saved_best = True
+        elif val_metrics.get("loss", float("inf")) < best_loss:
+            best_loss = float(val_metrics["loss"])
+            meta["best_loss"] = best_loss
+            self._save_tree("best", tree)
+            (self.dir / "best.meta.json").write_text(json.dumps(meta))
+            saved_best = True
+        return best_loss, best_map50, saved_best
+
+    def try_resume(self, state, name: str = "last"):
+        """Restore (state, start_epoch, best_loss, best_map50) if a
+        checkpoint exists, else (state, 0, inf, 0.0)."""
+        meta_path = self.dir / f"{name}.meta.json"
+        if not meta_path.exists():
+            return state, 0, float("inf"), 0.0
+        meta = json.loads(meta_path.read_text())
+        target = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "ema_params": state.ema_params if state.ema_params is not None else {},
+            "step": state.step,
+        }
+        tree = self._restore_tree(name, target)
+        state = state.replace(
+            params=tree["params"],
+            batch_stats=tree["batch_stats"],
+            opt_state=tree["opt_state"],
+            ema_params=tree["ema_params"] if state.ema_params is not None else None,
+            step=jax.numpy.asarray(tree["step"]),
+        )
+        return (
+            state,
+            int(meta["epoch"]) + 1,
+            float(meta.get("best_loss", float("inf"))),
+            float(meta.get("best_mAP50", 0.0)),
+        )

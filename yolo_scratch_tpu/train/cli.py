@@ -1,0 +1,138 @@
+"""Training CLI — flag-parity with the reference trainer.
+
+Reference argparse surface (``train_yolo11_cuda.py:455-471``): --data --cfg
+--scale --epochs --batch --imgsz --device --workers --lr --weight-decay
+--val-split --save-dir --resume --max-val-batches --val-conf. All accepted
+here (``--device``/``--workers`` are informational: JAX picks devices; the
+loader threads replace worker processes), plus TPU-native extras
+(--mesh, --ema, --max-gt, --dataset, --bf16).
+
+Run: ``python -m yolo_scratch_tpu.train.cli --data synthetic --epochs 2``.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train YOLO (TPU-native)")
+    p.add_argument("--data", type=str, default="synthetic",
+                   help="crater data dir, COCO dir, or 'synthetic'")
+    p.add_argument("--dataset", type=str, default="auto",
+                   choices=["auto", "crater", "coco", "synthetic"])
+    p.add_argument("--cfg", type=str,
+                   default=str(Path(__file__).parent.parent / "configs/yolo11_crater.yaml"))
+    p.add_argument("--scale", type=str, default="s", choices=["n", "s", "m", "l", "x"])
+    p.add_argument("--epochs", type=int, default=150)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--device", type=str, default="tpu", help="informational; JAX selects devices")
+    p.add_argument("--workers", type=int, default=4, help="loader prefetch depth")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--weight-decay", type=float, default=5e-4)
+    p.add_argument("--val-split", type=float, default=0.2)
+    p.add_argument("--save-dir", type=str, default="runs/train")
+    p.add_argument("--resume", action="store_true", default=True)
+    p.add_argument("--no-resume", dest="resume", action="store_false")
+    p.add_argument("--max-val-batches", type=int, default=None)
+    p.add_argument("--val-conf", type=float, default=0.25)
+    # TPU-native extras
+    p.add_argument("--max-gt", type=int, default=100, help="static per-image GT capacity")
+    p.add_argument("--ema", action="store_true", help="track EMA weights")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="data-parallel mesh size (0 = single device)")
+    p.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def make_datasets(args):
+    from yolo_scratch_tpu.data.coco import CocoDataset
+    from yolo_scratch_tpu.data.crater import CraterDataset
+    from yolo_scratch_tpu.data.synthetic import SyntheticDataset
+
+    kind = args.dataset
+    if kind == "auto":
+        if args.data == "synthetic":
+            kind = "synthetic"
+        elif list(Path(args.data).glob("altitude*")):
+            kind = "crater"
+        else:
+            kind = "coco"
+
+    if kind == "synthetic":
+        ds = SyntheticDataset(n=64, img_size=args.imgsz, channels=1, num_classes=5)
+        return ds, 1, 5
+    if kind == "crater":
+        ds = CraterDataset(args.data, img_size=args.imgsz)
+        return ds, 1, 5
+    root = Path(args.data)
+    anns = sorted(root.glob("annotations/instances_*.json")) or sorted(root.glob("*.json"))
+    if not anns:
+        raise FileNotFoundError(f"no COCO annotations under {root}")
+    img_dir = root / "images" if (root / "images").is_dir() else root
+    sub = [d for d in img_dir.iterdir() if d.is_dir()]
+    ds = CocoDataset(str(anns[0]), str(sub[0] if sub else img_dir), img_size=args.imgsz)
+    return ds, 3, len(ds.class_names) or 80
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from yolo_scratch_tpu.data.loader import Loader
+    from yolo_scratch_tpu.models.builder import build_yolo11
+    from yolo_scratch_tpu.train.trainer import Trainer, TrainerConfig
+
+    ds, ch, nc = make_datasets(args)
+    n = len(ds)
+    # seeded split (reference :494-505 uses torch.randperm(seed=42); same
+    # semantics with a numpy PRNG)
+    idx = np.random.RandomState(args.seed).permutation(n)
+    n_val = int(n * args.val_split)
+    train_idx, val_idx = idx[: n - n_val], idx[n - n_val :]
+    print(f"Train samples: {len(train_idx)}, Val samples: {len(val_idx)}")
+
+    train_loader = Loader(ds, args.batch, max_gt=args.max_gt, shuffle=True,
+                          seed=args.seed, indices=train_idx, prefetch=args.workers)
+    val_loader = (
+        Loader(ds, args.batch, max_gt=args.max_gt, indices=val_idx, prefetch=args.workers)
+        if len(val_idx)
+        else None
+    )
+
+    model = build_yolo11(args.cfg, ch=ch, nc=nc, scale=args.scale)
+    import jax
+
+    n_params = None  # printed after init inside Trainer; quick estimate here
+    print(f"Building {Path(args.cfg).name} scale={args.scale} nc={nc} ch={ch} "
+          f"strides={model.strides}")
+
+    mesh = None
+    if args.mesh and args.mesh > 1:
+        from yolo_scratch_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh)
+
+    cfg = TrainerConfig(
+        epochs=args.epochs,
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        val_conf=args.val_conf,
+        max_val_batches=args.max_val_batches,
+        save_dir=args.save_dir,
+        use_ema=args.ema,
+        eval_with_ema=args.ema,
+    )
+    trainer = Trainer(model, train_loader, val_loader, cfg, mesh=mesh, seed=args.seed)
+
+    total = sum(int(np.asarray(x).size) for x in jax.tree_util.tree_leaves(trainer.state.params))
+    print(f"Total parameters: {total:,} ({total / 1e6:.2f}M)")
+
+    return trainer.fit(resume=args.resume)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,203 @@
+"""Trainer: epoch loop, validation, checkpoints — the reference's
+``main()``/``train_one_epoch``/``validate`` (``train_yolo11_cuda.py:31-262,
+454-661``) as a real API instead of a script.
+
+Differences by design:
+  * the whole train step is one jitted program (no per-step ``.item()``
+    syncs — metrics are fetched once per log interval);
+  * validation decode+NMS runs on device with fixed shapes; only the final
+    mAP/CDA reduction is host-side;
+  * optional dp mesh: pass ``mesh=`` and the same loop runs sharded.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+
+from yolo_scratch_tpu.losses.v8_loss import DetectionLossConfig
+from yolo_scratch_tpu.train.checkpoints import CheckpointManager
+from yolo_scratch_tpu.train.optim import cosine_epoch_schedule, make_optimizer
+from yolo_scratch_tpu.train.state import create_train_state
+from yolo_scratch_tpu.train.steps import build_train_step, make_eval_step, make_train_step
+from yolo_scratch_tpu.utils.metrics import (
+    detections_to_lists,
+    evaluate_detections,
+    targets_to_lists,
+)
+
+
+@dataclass
+class TrainerConfig:
+    epochs: int = 150
+    lr: float = 1e-3
+    weight_decay: float = 5e-4
+    warmup_epochs: int = 3
+    clip_norm: float = 10.0
+    val_conf: float = 0.25
+    nms_iou: float = 0.45
+    max_det: int = 300
+    pre_nms_topk: int = 1000
+    max_val_batches: Optional[int] = None
+    save_dir: Optional[str] = None
+    use_ema: bool = False
+    eval_with_ema: bool = False
+    log_interval: int = 50
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        train_loader,
+        val_loader=None,
+        config: TrainerConfig = TrainerConfig(),
+        mesh=None,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.cfg = config
+        self.mesh = mesh
+
+        self.loss_cfg = DetectionLossConfig(nc=model.nc, strides=model.strides)
+        steps_per_epoch = max(len(train_loader), 1)
+        schedule = cosine_epoch_schedule(
+            config.lr, config.epochs, steps_per_epoch, config.warmup_epochs
+        )
+        self.schedule = schedule
+        tx = make_optimizer(schedule, config.weight_decay, config.clip_norm)
+
+        sample = next(iter(train_loader))
+        self.state = create_train_state(
+            model, jax.random.PRNGKey(seed), sample["img"][:1], tx, use_ema=config.use_ema
+        )
+
+        if mesh is not None:
+            from yolo_scratch_tpu.parallel.mesh import make_sharded_train_step, replicate
+
+            self.state = replicate(self.state, mesh)
+            self._train_step = make_sharded_train_step(model, self.loss_cfg, mesh, donate=True)
+        else:
+            self._train_step = make_train_step(model, self.loss_cfg, donate=True)
+
+        self._eval_step = make_eval_step(
+            model,
+            self.loss_cfg,
+            conf_threshold=config.val_conf,
+            iou_threshold=config.nms_iou,
+            max_det=config.max_det,
+            pre_nms_topk=config.pre_nms_topk,
+            use_ema=config.eval_with_ema,
+        )
+
+        self.ckpt = CheckpointManager(config.save_dir) if config.save_dir else None
+        self.best_loss = float("inf")
+        self.best_map50 = 0.0
+        self.start_epoch = 0
+
+    # ------------------------------------------------------------------
+
+    def resume(self) -> bool:
+        if self.ckpt is None:
+            return False
+        self.state, self.start_epoch, self.best_loss, self.best_map50 = self.ckpt.try_resume(
+            self.state
+        )
+        return self.start_epoch > 0
+
+    def _place(self, batch: Dict[str, np.ndarray]):
+        if self.mesh is not None:
+            from yolo_scratch_tpu.parallel.mesh import shard_batch
+
+            return shard_batch(batch, self.mesh)
+        return batch
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        t0 = time.perf_counter()
+        images = 0
+        collected = []  # device arrays; fetched once at epoch end (no per-step sync)
+        for batch in self.train_loader:
+            images += batch["img"].shape[0]
+            self.state, metrics = self._train_step(self.state, self._place(batch))
+            collected.append(metrics)
+        out: Dict[str, float] = {}
+        if collected:
+            keys = collected[0].keys()
+            out = {k: float(np.mean([np.asarray(m[k]) for m in collected])) for k in keys}
+        dt = time.perf_counter() - t0
+        out["imgs_per_sec"] = images / dt if dt > 0 else 0.0
+        out["epoch_time_s"] = dt
+        return out
+
+    def validate(self) -> Dict[str, float]:
+        if self.val_loader is None:
+            return {}
+        loss_sums: Dict[str, float] = {}
+        n = 0
+        all_preds, all_targets = [], []
+        for batch in self.val_loader:
+            if self.cfg.max_val_batches is not None and n >= self.cfg.max_val_batches:
+                break
+            metrics, (boxes, scores, labels, valid) = self._eval_step(
+                self.state, self._place(batch)
+            )
+            for k, v in metrics.items():
+                loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
+            all_preds.extend(detections_to_lists(boxes, scores, labels, valid))
+            all_targets.extend(
+                targets_to_lists(batch["gt_labels"], batch["gt_bboxes"], batch["gt_mask"])
+            )
+            n += 1
+        out = {k: v / max(n, 1) for k, v in loss_sums.items()}
+        out.update(
+            evaluate_detections(
+                all_preds, all_targets, conf_threshold=self.cfg.val_conf, iou_threshold=0.5
+            )
+        )
+        return out
+
+    def fit(self, resume: bool = True) -> Dict[str, Any]:
+        if resume:
+            self.resume()
+        history = []
+        for epoch in range(self.start_epoch, self.cfg.epochs):
+            lr = float(self.schedule(epoch * max(len(self.train_loader), 1)))
+            train_metrics = self.train_epoch(epoch)
+            val_metrics = self.validate()
+
+            print(
+                f"Epoch {epoch + 1}/{self.cfg.epochs} | lr {lr:.6f} | "
+                f"train loss {train_metrics.get('loss', float('nan')):.4f} "
+                f"(box {train_metrics.get('box_loss', 0):.4f} "
+                f"cls {train_metrics.get('cls_loss', 0):.4f} "
+                f"dfl {train_metrics.get('dfl_loss', 0):.4f}) | "
+                f"{train_metrics.get('imgs_per_sec', 0):.1f} img/s"
+            )
+            if val_metrics:
+                print(
+                    f"  val loss {val_metrics.get('loss', float('nan')):.4f} | "
+                    f"P {val_metrics.get('precision', 0):.4f} "
+                    f"R {val_metrics.get('recall', 0):.4f} "
+                    f"mAP50 {val_metrics.get('mAP50', 0):.4f} "
+                    f"mAP50-95 {val_metrics.get('mAP50-95', 0):.4f}"
+                )
+
+            if self.ckpt is not None:
+                self.best_loss, self.best_map50, saved = self.ckpt.save_epoch(
+                    self.state, epoch, train_metrics, val_metrics, self.best_loss, self.best_map50
+                )
+                if saved:
+                    print(f"  ✓ saved best (mAP50 {self.best_map50:.4f})")
+            history.append({"epoch": epoch, "train": train_metrics, "val": val_metrics})
+        return {
+            "history": history,
+            "best_mAP50": self.best_map50,
+            "best_loss": self.best_loss,
+        }
