@@ -22,11 +22,14 @@ def main():
     from yolo_scratch_tpu.ops.decode import postprocess
 
     img, ch, nc = 640, 1, 5
-    batch = int(__import__("os").environ.get("BENCH_BATCH", "32"))
+    batch = int(__import__("os").environ.get("BENCH_BATCH", "128"))
     model = build_yolo11("yolo_scratch_tpu/configs/yolo11_crater.yaml", ch=ch, nc=nc, scale="n")
     variables = model.init(jax.random.PRNGKey(0), np.zeros((1, img, img, ch), np.float32))
 
-    # bf16 weights + activations for the deploy path; BN stats stay f32.
+    # deploy path: fold BN into conv kernels, bf16 weights + activations
+    from yolo_scratch_tpu.nn.fuse import fuse_conv_bn
+
+    variables = fuse_conv_bn(variables)
     variables = {
         "params": jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), variables["params"]),
         "batch_stats": variables["batch_stats"],

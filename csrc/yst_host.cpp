@@ -1,0 +1,335 @@
+// yst_host: native host-side data pipeline for yolo_scratch_tpu.
+//
+// The reference's ingest tier is cv2 + torch DataLoader worker processes
+// (datasets/crater_dataset_cuda.py); this is the framework's native
+// equivalent: PNG/JPEG decode (libpng / libjpeg), bilinear resize with
+// cv2-compatible half-pixel sampling, letterbox, u8->f32 normalization,
+// and a persistent pthread worker pool that prepares whole fixed-shape
+// NHWC batches in one call. Bound to Python via ctypes (no pybind11).
+//
+// Build: g++ -O3 -march=native -shared -fPIC yst_host.cpp -lpng -ljpeg -lz -pthread
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <queue>
+#include <thread>
+#include <vector>
+
+#include <png.h>
+
+#include <csetjmp>
+extern "C" {
+#include <jpeglib.h>
+}
+
+namespace {
+
+// ---------------------------------------------------------------- decoding
+
+bool is_png(const uint8_t* d, size_t n) {
+  static const uint8_t sig[8] = {0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a};
+  return n >= 8 && std::memcmp(d, sig, 8) == 0;
+}
+
+bool is_jpeg(const uint8_t* d, size_t n) {
+  return n >= 3 && d[0] == 0xFF && d[1] == 0xD8 && d[2] == 0xFF;
+}
+
+// Decode PNG from memory via libpng's simplified API.
+// channels: 1 (gray) or 3 (rgb). Returns malloc'd buffer or nullptr.
+uint8_t* decode_png(const uint8_t* data, size_t size, int channels, int* w, int* h) {
+  png_image image;
+  std::memset(&image, 0, sizeof(image));
+  image.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&image, data, size)) return nullptr;
+  image.format = (channels == 1) ? PNG_FORMAT_GRAY : PNG_FORMAT_RGB;
+  *w = image.width;
+  *h = image.height;
+  size_t stride = PNG_IMAGE_ROW_STRIDE(image);
+  uint8_t* buf = (uint8_t*)std::malloc(PNG_IMAGE_SIZE(image));
+  if (!buf) {
+    png_image_free(&image);
+    return nullptr;
+  }
+  if (!png_image_finish_read(&image, nullptr, buf, (png_int_32)stride, nullptr)) {
+    std::free(buf);
+    png_image_free(&image);
+    return nullptr;
+  }
+  return buf;
+}
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* err = (JpegErr*)cinfo->err;
+  longjmp(err->jb, 1);
+}
+
+uint8_t* decode_jpeg(const uint8_t* data, size_t size, int channels, int* w, int* h) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  uint8_t* buf = nullptr;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::free(buf);
+    return nullptr;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), size);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = (channels == 1) ? JCS_GRAYSCALE : JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *w = cinfo.output_width;
+  *h = cinfo.output_height;
+  size_t row = (size_t)(*w) * channels;
+  buf = (uint8_t*)std::malloc(row * (*h));
+  if (!buf) longjmp(jerr.jb, 1);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* rp = buf + (size_t)cinfo.output_scanline * row;
+    jpeg_read_scanlines(&cinfo, &rp, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return buf;
+}
+
+uint8_t* decode_any(const uint8_t* data, size_t size, int channels, int* w, int* h) {
+  if (is_png(data, size)) return decode_png(data, size, channels, w, h);
+  if (is_jpeg(data, size)) return decode_jpeg(data, size, channels, w, h);
+  return nullptr;
+}
+
+// ----------------------------------------------------------------- resize
+
+// Bilinear resize, half-pixel centers (cv2.INTER_LINEAR geometry).
+void resize_bilinear(const uint8_t* src, int sh, int sw, int c, uint8_t* dst, int dh,
+                     int dw) {
+  if (sh == dh && sw == dw) {
+    std::memcpy(dst, src, (size_t)sh * sw * c);
+    return;
+  }
+  const float sx = (float)sw / dw;
+  const float sy = (float)sh / dh;
+  std::vector<int> x0v(dw), x1v(dw);
+  std::vector<float> fxv(dw);
+  for (int x = 0; x < dw; ++x) {
+    float fx = (x + 0.5f) * sx - 0.5f;
+    int x0 = (int)std::floor(fx);
+    fxv[x] = fx - x0;
+    x0v[x] = std::min(std::max(x0, 0), sw - 1);
+    x1v[x] = std::min(std::max(x0 + 1, 0), sw - 1);
+  }
+  for (int y = 0; y < dh; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = (int)std::floor(fy);
+    float wy = fy - y0;
+    int y0c = std::min(std::max(y0, 0), sh - 1);
+    int y1c = std::min(std::max(y0 + 1, 0), sh - 1);
+    const uint8_t* r0 = src + (size_t)y0c * sw * c;
+    const uint8_t* r1 = src + (size_t)y1c * sw * c;
+    uint8_t* out = dst + (size_t)y * dw * c;
+    for (int x = 0; x < dw; ++x) {
+      float wx = fxv[x];
+      const uint8_t* p00 = r0 + (size_t)x0v[x] * c;
+      const uint8_t* p01 = r0 + (size_t)x1v[x] * c;
+      const uint8_t* p10 = r1 + (size_t)x0v[x] * c;
+      const uint8_t* p11 = r1 + (size_t)x1v[x] * c;
+      for (int k = 0; k < c; ++k) {
+        float v = (1 - wy) * ((1 - wx) * p00[k] + wx * p01[k]) +
+                  wy * ((1 - wx) * p10[k] + wx * p11[k]);
+        out[(size_t)x * c + k] = (uint8_t)(v + 0.5f);
+      }
+    }
+  }
+}
+
+// ------------------------------------------------------------- thread pool
+
+class Pool {
+ public:
+  explicit Pool(int n) : stop_(false) {
+    for (int i = 0; i < n; ++i)
+      workers_.emplace_back([this] {
+        for (;;) {
+          std::function<void()> job;
+          {
+            std::unique_lock<std::mutex> lk(mu_);
+            cv_.wait(lk, [this] { return stop_ || !jobs_.empty(); });
+            if (stop_ && jobs_.empty()) return;
+            job = std::move(jobs_.front());
+            jobs_.pop();
+          }
+          job();
+          if (--outstanding_ == 0) {
+            std::lock_guard<std::mutex> lk(mu_);
+            done_cv_.notify_all();
+          }
+        }
+      });
+  }
+  ~Pool() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& t : workers_) t.join();
+  }
+  void submit(std::function<void()> f) {
+    ++outstanding_;
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      jobs_.push(std::move(f));
+    }
+    cv_.notify_one();
+  }
+  void wait() {
+    std::unique_lock<std::mutex> lk(mu_);
+    done_cv_.wait(lk, [this] { return outstanding_.load() == 0; });
+  }
+
+ private:
+  std::vector<std::thread> workers_;
+  std::queue<std::function<void()>> jobs_;
+  std::mutex mu_;
+  std::condition_variable cv_, done_cv_;
+  std::atomic<int> outstanding_{0};
+  bool stop_;
+};
+
+Pool* g_pool = nullptr;
+int g_pool_size = 0;
+std::mutex g_pool_mu;
+
+Pool& pool(int n) {
+  std::lock_guard<std::mutex> lk(g_pool_mu);
+  if (!g_pool || g_pool_size != n) {
+    delete g_pool;
+    g_pool = new Pool(n);
+    g_pool_size = n;
+  }
+  return *g_pool;
+}
+
+uint8_t* read_file(const char* path, size_t* out_size) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  std::fseek(f, 0, SEEK_END);
+  long n = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  uint8_t* buf = (uint8_t*)std::malloc(n);
+  if (buf && std::fread(buf, 1, n, f) != (size_t)n) {
+    std::free(buf);
+    buf = nullptr;
+  }
+  std::fclose(f);
+  *out_size = n;
+  return buf;
+}
+
+// One image: decode -> (letterbox|stretch) resize -> f32 [0,1] NHWC slot.
+// Returns 0 ok; fills orig w/h and letterbox transform (scale, px, py).
+int prepare_one(const char* path, int S, int channels, int letterbox, uint8_t pad,
+                float* out, int* ow, int* oh, float* scale, int* px, int* py) {
+  size_t n;
+  uint8_t* bytes = read_file(path, &n);
+  if (!bytes) return -1;
+  int w = 0, h = 0;
+  uint8_t* img = decode_any(bytes, n, channels, &w, &h);
+  std::free(bytes);
+  if (!img) return -2;
+  *ow = w;
+  *oh = h;
+
+  std::vector<uint8_t> resized((size_t)S * S * channels, pad);
+  if (letterbox) {
+    float r = std::min((float)S / w, (float)S / h);
+    int nw = (int)std::lround(w * r), nh = (int)std::lround(h * r);
+    nw = std::max(nw, 1);
+    nh = std::max(nh, 1);
+    std::vector<uint8_t> tmp((size_t)nw * nh * channels);
+    resize_bilinear(img, h, w, channels, tmp.data(), nh, nw);
+    int ox = (S - nw) / 2, oy = (S - nh) / 2;
+    for (int y = 0; y < nh; ++y)
+      std::memcpy(resized.data() + ((size_t)(y + oy) * S + ox) * channels,
+                  tmp.data() + (size_t)y * nw * channels, (size_t)nw * channels);
+    *scale = r;
+    *px = ox;
+    *py = oy;
+  } else {
+    resize_bilinear(img, h, w, channels, resized.data(), S, S);
+    *scale = 0.f;
+    *px = 0;
+    *py = 0;
+  }
+  std::free(img);
+
+  const float inv = 1.0f / 255.0f;
+  size_t total = (size_t)S * S * channels;
+  for (size_t i = 0; i < total; ++i) out[i] = resized[i] * inv;
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode a file into caller-inspectable buffer (test/debug path).
+// Returns malloc'd u8 HWC buffer; caller frees with yst_free.
+uint8_t* yst_decode_file(const char* path, int channels, int* w, int* h) {
+  size_t n;
+  uint8_t* bytes = read_file(path, &n);
+  if (!bytes) return nullptr;
+  uint8_t* img = decode_any(bytes, n, channels, w, h);
+  std::free(bytes);
+  return img;
+}
+
+void yst_free(uint8_t* p) { std::free(p); }
+
+void yst_resize_bilinear_u8(const uint8_t* src, int sh, int sw, int c, uint8_t* dst,
+                            int dh, int dw) {
+  resize_bilinear(src, sh, sw, c, dst, dh, dw);
+}
+
+// Prepare a whole batch: out is (n, S, S, channels) float32, C-contiguous.
+// meta is (n, 5) float32: [orig_w, orig_h, scale, pad_x, pad_y] per image.
+// status is (n,) int32: 0 ok, negative = decode error.
+void yst_prepare_batch(const char** paths, int n, int S, int channels, int letterbox,
+                       uint8_t pad_value, int nthreads, float* out, float* meta,
+                       int32_t* status) {
+  Pool& p = pool(std::max(nthreads, 1));
+  size_t slot = (size_t)S * S * channels;
+  for (int i = 0; i < n; ++i) {
+    p.submit([=] {
+      int w = 0, h = 0, px = 0, py = 0;
+      float sc = 0.f;
+      status[i] = prepare_one(paths[i], S, channels, letterbox, pad_value,
+                              out + slot * i, &w, &h, &sc, &px, &py);
+      meta[i * 5 + 0] = (float)w;
+      meta[i * 5 + 1] = (float)h;
+      meta[i * 5 + 2] = sc;
+      meta[i * 5 + 3] = (float)px;
+      meta[i * 5 + 4] = (float)py;
+    });
+  }
+  p.wait();
+}
+
+int yst_version() { return 1; }
+
+}  // extern "C"

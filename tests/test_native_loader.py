@@ -1,0 +1,70 @@
+"""Native C++ host pipeline: decode/resize/letterbox correctness vs cv2."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+native = pytest.importorskip("yolo_scratch_tpu.data.native")
+cv2 = pytest.importorskip("cv2")
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native lib not built")
+
+
+@pytest.fixture(scope="module")
+def sample_files():
+    rng = np.random.RandomState(0)
+    img = (rng.rand(53, 71) * 255).astype(np.uint8)
+    rgb = (rng.rand(40, 60, 3) * 255).astype(np.uint8)
+    d = tempfile.mkdtemp()
+    png = os.path.join(d, "t.png")
+    jpg = os.path.join(d, "t.jpg")
+    cjpg = os.path.join(d, "c.jpg")
+    cv2.imwrite(png, img)
+    cv2.imwrite(jpg, img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+    cv2.imwrite(cjpg, rgb[..., ::-1])  # cv2 writes BGR
+    return {"img": img, "rgb": rgb, "png": png, "jpg": jpg, "cjpg": cjpg}
+
+
+def test_png_decode_exact(sample_files):
+    dec = native.decode_file(sample_files["png"], 1)
+    assert np.array_equal(dec[..., 0], sample_files["img"])
+
+
+def test_jpeg_decode_close(sample_files):
+    dec = native.decode_file(sample_files["jpg"], 1)
+    err = np.abs(dec[..., 0].astype(int) - sample_files["img"].astype(int)).mean()
+    assert err < 4.0  # codec-level tolerance
+
+
+def test_prepare_batch_matches_cv2_resize(sample_files):
+    out, meta, status = native.prepare_batch([sample_files["png"]], 64, channels=1, threads=2)
+    assert status.tolist() == [0]
+    assert meta[0, 0] == 71 and meta[0, 1] == 53
+    ref = cv2.resize(sample_files["img"], (64, 64), interpolation=cv2.INTER_LINEAR)
+    np.testing.assert_allclose(out[0, ..., 0], ref.astype(np.float32) / 255, atol=2 / 255)
+
+
+def test_letterbox_geometry(sample_files):
+    S = 64
+    out, meta, status = native.prepare_batch(
+        [sample_files["png"]], S, channels=1, letterbox=True, pad_value=114, threads=1
+    )
+    w, h, scale, px, py = meta[0]
+    assert status[0] == 0
+    assert scale == pytest.approx(S / 71, rel=1e-5)
+    nh = round(53 * scale)
+    assert py == (S - nh) // 2 and px == 0
+    # padded rows are exactly pad_value
+    assert np.allclose(out[0, 0, :, 0], 114 / 255, atol=1e-6)
+    # content region is not padding
+    assert abs(out[0, S // 2, S // 2, 0] - 114 / 255) > 1e-3
+
+
+def test_rgb_and_error_paths(sample_files):
+    out, meta, status = native.prepare_batch([sample_files["cjpg"]], 32, channels=3, threads=1)
+    assert status.tolist() == [0] and out.shape == (1, 32, 32, 3)
+
+    out, meta, status = native.prepare_batch(["/nonexistent.png"], 32, channels=1, threads=1)
+    assert status[0] != 0

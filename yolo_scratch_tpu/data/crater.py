@@ -31,6 +31,13 @@ CLASS_MAP = {"A": 0, "AB": 1, "B": 2, "BC": 3, "C": 4}  # reference ``:61``
 
 
 def _imread_gray(path: str) -> np.ndarray:
+    from yolo_scratch_tpu.data import native
+
+    if native.available():
+        try:
+            return native.decode_file(path, channels=1)[..., 0]
+        except IOError:
+            pass  # fall through to cv2/PIL for exotic formats
     try:
         import cv2
 

@@ -1,0 +1,251 @@
+"""Streaming batched inference — the deploy path (BASELINE.json config 5).
+
+Pipeline: native C++ host decode+letterbox (thread pool, csrc/yst_host.cpp)
+-> double-buffered device feed -> one jit program (bf16 model with folded
+BN -> DFL decode -> confidence filter -> NMS) -> detections mapped back to
+original-image coordinates. Host prep of batch N+1 overlaps device compute
+of batch N (the async dispatch queue provides the overlap).
+
+CLI: ``python -m yolo_scratch_tpu.infer --images <dir> --ckpt <dir> --out
+preds.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class PredictorConfig:
+    img_size: int = 640
+    batch_size: int = 32
+    conf_threshold: float = 0.25
+    iou_threshold: float = 0.45
+    max_det: int = 300
+    pre_nms_topk: int = 512
+    letterbox: bool = True
+    bf16: bool = True
+    fuse_bn: bool = True
+    class_aware_nms: bool = False
+    host_threads: int = 4
+
+
+class Predictor:
+    """Batched streaming predictor over a YOLO11 (builder) model."""
+
+    def __init__(self, model, variables, config: PredictorConfig = PredictorConfig()):
+        from yolo_scratch_tpu.nn.fuse import fuse_conv_bn
+        from yolo_scratch_tpu.ops.decode import postprocess
+
+        self.model = model
+        self.cfg = config
+        if config.fuse_bn:
+            variables = fuse_conv_bn(variables)
+        if config.bf16:
+            variables = {
+                "params": jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16), variables["params"]
+                ),
+                "batch_stats": variables["batch_stats"],
+            }
+        self.variables = variables
+
+        cfg = config
+
+        def _infer(v, x):
+            xx = x.astype(jnp.bfloat16) if cfg.bf16 else x
+            feats = model.apply(v, xx, train=False)
+            decoded = model.decode([f.astype(jnp.float32) for f in feats])
+            return postprocess(
+                decoded,
+                img_size=cfg.img_size,
+                conf_threshold=cfg.conf_threshold,
+                iou_threshold=cfg.iou_threshold,
+                max_det=cfg.max_det,
+                pre_nms_topk=cfg.pre_nms_topk,
+                class_aware=cfg.class_aware_nms,
+            )
+
+        self._infer = jax.jit(_infer)
+
+    # -- host prep ---------------------------------------------------------
+
+    def _prepare(self, paths: Sequence[str]):
+        """-> (imgs (B, S, S, C) f32, meta (B, 5)). Native path preferred."""
+        from yolo_scratch_tpu.data import native
+
+        S = self.cfg.img_size
+        ch = self.model.in_ch
+        if native.available():
+            imgs, meta, status = native.prepare_batch(
+                paths, S, channels=ch, letterbox=self.cfg.letterbox,
+                threads=self.cfg.host_threads,
+            )
+            if (status != 0).any():
+                bad = [p for p, s in zip(paths, status) if s != 0]
+                raise IOError(f"decode failed: {bad}")
+            return imgs, meta
+        # cv2 fallback
+        import cv2
+
+        imgs = np.zeros((len(paths), S, S, ch), np.float32)
+        meta = np.zeros((len(paths), 5), np.float32)
+        for i, p in enumerate(paths):
+            flag = cv2.IMREAD_GRAYSCALE if ch == 1 else cv2.IMREAD_COLOR
+            im = cv2.imdecode(np.fromfile(p, np.uint8), flag)
+            if im is None:
+                raise IOError(p)
+            if ch == 3:
+                im = im[..., ::-1]
+            h0, w0 = im.shape[:2]
+            if self.cfg.letterbox:
+                r = min(S / w0, S / h0)
+                nw, nh = int(round(w0 * r)), int(round(h0 * r))
+                px, py = (S - nw) // 2, (S - nh) // 2
+                resized = cv2.resize(im, (nw, nh), interpolation=cv2.INTER_LINEAR)
+                canvas = np.full((S, S, ch), 114, np.uint8)
+                canvas[py : py + nh, px : px + nw] = resized.reshape(nh, nw, ch)
+                imgs[i] = canvas.astype(np.float32) / 255
+                meta[i] = [w0, h0, r, px, py]
+            else:
+                imgs[i] = (
+                    cv2.resize(im, (S, S), interpolation=cv2.INTER_LINEAR)
+                    .reshape(S, S, ch)
+                    .astype(np.float32)
+                    / 255
+                )
+                meta[i] = [w0, h0, 0.0, 0, 0]
+        return imgs, meta
+
+    def _unmap_boxes(self, boxes_norm: np.ndarray, meta_row: np.ndarray) -> np.ndarray:
+        """Normalized model-space xyxy -> original-image pixel xyxy."""
+        S = self.cfg.img_size
+        w0, h0, r, px, py = meta_row
+        b = boxes_norm * S
+        if r > 0:  # letterboxed
+            b[:, [0, 2]] = (b[:, [0, 2]] - px) / r
+            b[:, [1, 3]] = (b[:, [1, 3]] - py) / r
+        else:  # stretch
+            b[:, [0, 2]] *= w0 / S
+            b[:, [1, 3]] *= h0 / S
+        b[:, [0, 2]] = b[:, [0, 2]].clip(0, w0)
+        b[:, [1, 3]] = b[:, [1, 3]].clip(0, h0)
+        return b
+
+    # -- public API --------------------------------------------------------
+
+    def predict_paths(self, paths: Sequence[str]) -> Iterator[Dict]:
+        """Stream detections for a list of image paths."""
+        B = self.cfg.batch_size
+        pending: List[tuple] = []  # (paths_chunk, meta, device_out)
+
+        def drain(entry):
+            chunk, meta, out = entry
+            boxes, scores, labels, valid = [np.asarray(o) for o in out]
+            for j, p in enumerate(chunk):
+                v = valid[j]
+                yield {
+                    "path": str(p),
+                    "boxes": self._unmap_boxes(boxes[j][v], meta[j]).tolist(),
+                    "scores": scores[j][v].tolist(),
+                    "labels": labels[j][v].tolist(),
+                }
+
+        for i in range(0, len(paths), B):
+            chunk = list(paths[i : i + B])
+            n = len(chunk)
+            if n < B:
+                chunk_padded = chunk + [chunk[-1]] * (B - n)
+            else:
+                chunk_padded = chunk
+            imgs, meta = self._prepare(chunk_padded)
+            out = self._infer(self.variables, imgs)  # async dispatch
+            pending.append((chunk, meta, out))
+            if len(pending) > 1:  # keep one batch in flight
+                yield from drain(pending.pop(0))
+        for entry in pending:
+            yield from drain(entry)
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="Batched streaming inference")
+    p.add_argument("--images", type=str, required=True, help="image dir or file")
+    p.add_argument("--cfg", type=str,
+                   default=str(Path(__file__).parent / "configs/yolo11_crater.yaml"))
+    p.add_argument("--scale", type=str, default="n")
+    p.add_argument("--ckpt", type=str, default=None, help="checkpoint dir (orbax 'last'/'best')")
+    p.add_argument("--torch-ckpt", type=str, default=None, help="reference .pt checkpoint")
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--conf", type=float, default=0.25)
+    p.add_argument("--iou", type=float, default=0.45)
+    p.add_argument("--out", type=str, default=None, help="write JSON here")
+    p.add_argument("--stretch", action="store_true", help="stretch-resize (reference semantics)")
+    args = p.parse_args(argv)
+
+    from yolo_scratch_tpu.models.builder import build_yolo11
+
+    root = Path(args.images)
+    exts = {".png", ".jpg", ".jpeg", ".bmp"}
+    paths = (
+        [str(root)]
+        if root.is_file()
+        else sorted(str(q) for q in root.rglob("*") if q.suffix.lower() in exts)
+    )
+    if not paths:
+        raise SystemExit(f"no images under {root}")
+
+    model = build_yolo11(args.cfg, ch=1, nc=5, scale=args.scale)
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, args.imgsz, args.imgsz, 1), np.float32)
+    )
+    if args.torch_ckpt:
+        from yolo_scratch_tpu.utils.torch_import import load_reference_checkpoint
+
+        params, batch_stats = load_reference_checkpoint(args.torch_ckpt)
+        variables = {"params": params, "batch_stats": batch_stats}
+    elif args.ckpt:
+        from yolo_scratch_tpu.train.checkpoints import CheckpointManager
+        from yolo_scratch_tpu.train.optim import make_optimizer
+        from yolo_scratch_tpu.train.state import create_train_state
+
+        state = create_train_state(
+            model, jax.random.PRNGKey(0),
+            np.zeros((1, args.imgsz, args.imgsz, 1), np.float32), make_optimizer(),
+        )
+        mgr = CheckpointManager(args.ckpt)
+        state, _, _, _ = mgr.try_resume(state, name="best")
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    cfg = PredictorConfig(
+        img_size=args.imgsz, batch_size=args.batch, conf_threshold=args.conf,
+        iou_threshold=args.iou, letterbox=not args.stretch,
+    )
+    predictor = Predictor(model, variables, cfg)
+
+    t0 = time.perf_counter()
+    results = list(predictor.predict_paths(paths))
+    dt = time.perf_counter() - t0
+    print(f"{len(paths)} images in {dt:.2f}s ({len(paths) / dt:.1f} img/s)")
+    if args.out:
+        Path(args.out).write_text(json.dumps(results))
+        print(f"wrote {args.out}")
+    else:
+        for r in results[:5]:
+            print(r["path"], len(r["scores"]), "detections")
+    return results
+
+
+if __name__ == "__main__":
+    main()
