@@ -5,7 +5,7 @@ import jax
 import pytest
 
 
-def _batch_with_disk(B=4, S=64):
+def _batch_with_disk(B=4, S=48):
     """Images with one bright square per image; boxes are exact bounds."""
     rng = np.random.RandomState(0)
     img = np.zeros((B, S, S, 1), np.float32)
@@ -51,7 +51,7 @@ def test_hflip_box_alignment():
 def test_mosaic_box_alignment():
     from yolo_scratch_tpu.data.augment import mosaic4
 
-    batch = _batch_with_disk(B=4, S=64)
+    batch = _batch_with_disk(B=4, S=48)
     out = mosaic4(batch, jax.random.PRNGKey(2), p=1.0)
     img = np.asarray(out["img"])
     bb = np.asarray(out["gt_bboxes"])

@@ -124,8 +124,8 @@ def test_legacy_loss_and_targets():
     )
     from yolo_scratch_tpu.models.legacy import YOLOScratchModel
 
-    B, S = 2, 64
-    model = YOLOScratchModel(num_classes=5, width_mult=0.5)
+    B, S = 2, 32
+    model = YOLOScratchModel(num_classes=5, width_mult=0.25)
     x = np.random.RandomState(0).rand(B, S, S, 1).astype(np.float32)
     variables = model.init(jax.random.PRNGKey(0), x)
     preds = model.apply(variables, x, train=False)
@@ -142,10 +142,10 @@ def test_legacy_loss_and_targets():
 
     feat_hw = [(p["bbox"].shape[1], p["bbox"].shape[2]) for p in preds]
     targets = build_legacy_targets(gl, gb, gm, feat_hw)
-    # center (0.35, 0.4) -> cell (y=6, x=5) at stride 4 (16x16 grid)
+    # center (0.35, 0.4) -> cell (y=3, x=2) at stride 4 (8x8 grid, S=32)
     t0 = targets[0]
-    assert float(t0["objectness"][0, 6, 5, 0]) == 1.0
-    assert int(np.asarray(t0["classes"])[0, 6, 5]) == 2
+    assert float(t0["objectness"][0, 3, 2, 0]) == 1.0
+    assert int(np.asarray(t0["classes"])[0, 3, 2]) == 2
     assert float(np.asarray(t0["objectness"]).sum()) == 1.0
 
     out = legacy_yolo_loss(preds, targets)

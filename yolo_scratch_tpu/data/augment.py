@@ -211,6 +211,29 @@ def mosaic4(batch: dict, key: jax.Array, p: float, min_box: float = 2e-3) -> dic
     }
 
 
+# ---------------------------------------------------------------- letterbox
+
+
+@partial(jax.jit, static_argnames=("out_size", "pad_value"))
+def letterbox_batch(imgs: jnp.ndarray, out_size: int, pad_value: float = 114.0 / 255.0):
+    """Device-side letterbox for a uniform-size batch (B, H, W, C) float.
+
+    Aspect-preserving resize to fit ``out_size`` then centered pad — the
+    jittable preproc of the streaming-inference path (BASELINE config 5)
+    for fixed-shape sources (e.g. a camera stream). Returns
+    (out (B, S, S, C), scale, (pad_x, pad_y)); scale/pads are Python floats
+    derived from static shapes, usable to unmap boxes.
+    """
+    B, H, W, C = imgs.shape
+    r = min(out_size / W, out_size / H)
+    nw, nh = int(round(W * r)), int(round(H * r))
+    resized = jax.image.resize(imgs, (B, nh, nw, C), method="bilinear")
+    px, py = (out_size - nw) // 2, (out_size - nh) // 2
+    out = jnp.full((B, out_size, out_size, C), pad_value, imgs.dtype)
+    out = jax.lax.dynamic_update_slice(out, resized.astype(imgs.dtype), (0, py, px, 0))
+    return out, r, (px, py)
+
+
 # ------------------------------------------------------------------ pipeline
 
 

@@ -190,6 +190,13 @@ class YOLOXModel(nn.Module):
         return yolox_decode(outs, self.nc, self.strides, xywh=xywh)
 
 
+def yolox_eval_decode(outs: Sequence[jnp.ndarray], nc: int, strides: Sequence[float]) -> jnp.ndarray:
+    """Decode to the common postprocess input format (B, A, 4+nc):
+    xywh pixel boxes + per-class confidence = obj * cls (YOLOX convention)."""
+    d = yolox_decode(outs, nc, strides, xywh=True)
+    return jnp.concatenate([d[..., :4], d[..., 4:5] * d[..., 5:]], axis=-1)
+
+
 def yolox_decode(
     outs: Sequence[jnp.ndarray], nc: int, strides: Sequence[float], xywh: bool = False
 ) -> jnp.ndarray:

@@ -25,9 +25,30 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: Optional[int] = None, axis_names: Sequence[str] = ("dp",)) -> Mesh:
-    devs = jax.devices()
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("dp",),
+    backend: Optional[str] = None,
+) -> Mesh:
+    """Build a 1-D dp mesh. If the default platform has too few devices and
+    no explicit backend was requested, fall back to the virtual CPU devices
+    (available when XLA_FLAGS=--xla_force_host_platform_device_count=N is
+    set, even when the default platform is a single TPU)."""
+    devs = jax.devices(backend) if backend else jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n and backend is None:
+        try:
+            cpu = jax.devices("cpu")
+        except RuntimeError:
+            cpu = []
+        if len(cpu) >= n:
+            devs = cpu
+    if len(devs) < n:
+        raise ValueError(
+            f"mesh needs {n} devices but only {len(devs)} visible "
+            f"({jax.default_backend()}); for a virtual CPU mesh set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N"
+        )
     if len(axis_names) != 1:
         raise ValueError("only 1-D (dp) meshes are built today; tp/pp axes reserved")
     return Mesh(np.array(devs[:n]), axis_names=axis_names)
@@ -45,15 +66,19 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.device_put(tree, sharding)
 
 
-def make_sharded_train_step(model, loss_cfg, mesh: Mesh, donate: bool = True, axis: str = "dp"):
+def make_sharded_train_step(model, loss_cfg, mesh: Mesh, donate: bool = True, axis: str = "dp",
+                            loss_fn=None):
     """jit the train step with explicit input/output shardings over ``mesh``.
 
     state: replicated; batch: sharded on the leading dim; outputs replicated.
+    ``loss_fn`` overrides the default v8 loss (e.g. YOLOX/SimOTA adapter).
     """
-    from yolo_scratch_tpu.train.steps import make_train_step
+    from yolo_scratch_tpu.train.steps import build_train_step, build_train_step_custom
 
-    # make_train_step already jits; build the raw step and re-jit with shardings.
-    inner = make_train_step(model, loss_cfg, donate=False)
+    if loss_fn is not None:
+        inner = build_train_step_custom(model, loss_fn)
+    else:
+        inner = build_train_step(model, loss_cfg)
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(axis))

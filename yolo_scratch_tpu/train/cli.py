@@ -26,7 +26,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "crater", "coco", "synthetic"])
     p.add_argument("--cfg", type=str,
                    default=str(Path(__file__).parent.parent / "configs/yolo11_crater.yaml"))
-    p.add_argument("--scale", type=str, default="s", choices=["n", "s", "m", "l", "x"])
+    p.add_argument("--model", type=str, default="yolo11", choices=["yolo11", "yolox"],
+                   help="model family: YAML-built YOLO11 (v8/TAL loss) or YOLOX (SimOTA)")
+    p.add_argument("--scale", type=str, default="s",
+                   choices=["n", "s", "m", "l", "x", "nano", "tiny"])
     p.add_argument("--epochs", type=int, default=150)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--imgsz", type=int, default=640)
@@ -47,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel mesh size (0 = single device)")
     p.add_argument("--multiscale", action="store_true",
                    help="multi-scale training over bucketed sizes {0.75, 0.875, 1, 1.125}*imgsz")
+    p.add_argument("--augment", action="store_true",
+                   help="device-side augmentation (hflip + color jitter)")
+    p.add_argument("--mosaic", type=float, default=0.0,
+                   help="mosaic probability (implies --augment)")
     p.add_argument("--seed", type=int, default=42)
     return p
 
@@ -111,18 +118,30 @@ def main(argv=None):
         else None
     )
 
-    model = build_yolo11(args.cfg, ch=ch, nc=nc, scale=args.scale)
     import jax
 
-    n_params = None  # printed after init inside Trainer; quick estimate here
-    print(f"Building {Path(args.cfg).name} scale={args.scale} nc={nc} ch={ch} "
-          f"strides={model.strides}")
+    if args.model == "yolox":
+        from yolo_scratch_tpu.models.yolox import YOLOXModel
+
+        yx_scale = {"n": "nano", "x": "x"}.get(args.scale, args.scale)
+        model = YOLOXModel.from_scale(yx_scale, nc=nc)
+        print(f"Building YOLOX-{yx_scale} nc={nc} ch={ch} strides={model.strides}")
+    else:
+        model = build_yolo11(args.cfg, ch=ch, nc=nc, scale=args.scale)
+        print(f"Building {Path(args.cfg).name} scale={args.scale} nc={nc} ch={ch} "
+              f"strides={model.strides}")
 
     mesh = None
     if args.mesh and args.mesh > 1:
         from yolo_scratch_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(args.mesh)
+
+    aug_cfg = None
+    if args.augment or args.mosaic > 0:
+        from yolo_scratch_tpu.data.augment import AugmentConfig
+
+        aug_cfg = AugmentConfig(mosaic_p=args.mosaic)
 
     cfg = TrainerConfig(
         epochs=args.epochs,
@@ -133,8 +152,10 @@ def main(argv=None):
         save_dir=args.save_dir,
         use_ema=args.ema,
         eval_with_ema=args.ema,
+        augment=aug_cfg,
     )
-    trainer = Trainer(model, train_loader, val_loader, cfg, mesh=mesh, seed=args.seed)
+    trainer = Trainer(model, train_loader, val_loader, cfg, mesh=mesh, seed=args.seed,
+                      model_kind=args.model)
 
     total = sum(int(np.asarray(x).size) for x in jax.tree_util.tree_leaves(trainer.state.params))
     print(f"Total parameters: {total:,} ({total / 1e6:.2f}M)")

@@ -30,34 +30,56 @@ from yolo_scratch_tpu.losses.v8_loss import DetectionLossConfig, v8_detection_lo
 from yolo_scratch_tpu.train.state import TrainState
 
 
-def build_train_step(model, loss_cfg: DetectionLossConfig):
-    """Returns the *unjitted* ``train_step(state, batch) -> (state, metrics)``
-    (for callers that re-jit with explicit shardings, e.g. the dp mesh)."""
+def v8_loss_adapter(loss_cfg: DetectionLossConfig):
+    """feats+batch -> (total, metrics dict) for the v8 (YOLO11) loss."""
+
+    def fn(feats, batch):
+        total, items = v8_detection_loss(
+            feats, batch["gt_labels"], batch["gt_bboxes"], batch["gt_mask"], loss_cfg
+        )
+        return total, {"box_loss": items[0], "cls_loss": items[1], "dfl_loss": items[2]}
+
+    return fn
+
+
+def yolox_loss_adapter(loss_cfg):
+    """feats+batch -> (total, metrics dict) for the YOLOX/SimOTA loss."""
+    from yolo_scratch_tpu.losses.simota import yolox_loss
+
+    def fn(feats, batch):
+        total, aux = yolox_loss(
+            feats, batch["gt_labels"], batch["gt_bboxes"], batch["gt_mask"], loss_cfg
+        )
+        return total, aux
+
+    return fn
+
+
+def build_train_step_custom(model, loss_fn):
+    """Generic unjitted step; ``loss_fn(feats, batch) -> (total, metrics)``."""
 
     def step(state: TrainState, batch: Dict[str, Any]):
-        def loss_fn(params):
+        def wrapped(params):
             feats, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["img"],
                 train=True,
                 mutable=["batch_stats"],
             )
-            total, items = v8_detection_loss(
-                feats, batch["gt_labels"], batch["gt_bboxes"], batch["gt_mask"], loss_cfg
-            )
-            return total, (items, mutated["batch_stats"])
+            total, metrics = loss_fn(feats, batch)
+            return total, (metrics, mutated["batch_stats"])
 
-        (loss, (items, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(wrapped, has_aux=True)(state.params)
         state = state.replace(batch_stats=new_bs).apply_gradients(grads)
-        metrics = {
-            "loss": loss,
-            "box_loss": items[0],
-            "cls_loss": items[1],
-            "dfl_loss": items[2],
-        }
-        return state, metrics
+        return state, {"loss": loss, **metrics}
 
     return step
+
+
+def build_train_step(model, loss_cfg: DetectionLossConfig):
+    """Returns the *unjitted* v8-loss ``train_step`` (for callers that
+    re-jit with explicit shardings, e.g. the dp mesh)."""
+    return build_train_step_custom(model, v8_loss_adapter(loss_cfg))
 
 
 def make_train_step(model, loss_cfg: DetectionLossConfig, donate: bool = True):
@@ -65,9 +87,9 @@ def make_train_step(model, loss_cfg: DetectionLossConfig, donate: bool = True):
     return jax.jit(build_train_step(model, loss_cfg), donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, loss_cfg: DetectionLossConfig, conf_threshold: float = 0.25,
+def make_eval_step(model, loss_cfg: DetectionLossConfig = None, conf_threshold: float = 0.25,
                    iou_threshold: float = 0.45, max_det: int = 300, pre_nms_topk: int = 1000,
-                   use_ema: bool = False):
+                   use_ema: bool = False, loss_fn=None, decode_fn=None):
     """Returns jitted ``eval_step(state, batch) -> (metrics, detections)``.
 
     Detections are fixed-shape (B, max_det, 6) rows of
@@ -77,15 +99,18 @@ def make_eval_step(model, loss_cfg: DetectionLossConfig, conf_threshold: float =
     """
     from yolo_scratch_tpu.ops.decode import postprocess
 
+    if loss_fn is None:
+        loss_fn = v8_loss_adapter(loss_cfg)
+    if decode_fn is None:
+        decode_fn = lambda feats: model.decode(feats)  # (B, A, 4+nc) xywh px + probs
+
     def step(state: TrainState, batch: Dict[str, Any]):
         params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
         feats = model.apply(
             {"params": params, "batch_stats": state.batch_stats}, batch["img"], train=False
         )
-        total, items = v8_detection_loss(
-            feats, batch["gt_labels"], batch["gt_bboxes"], batch["gt_mask"], loss_cfg
-        )
-        decoded = model.decode(feats)  # (B, A, 4+nc) xywh pixels + sigmoid cls
+        total, items = loss_fn(feats, batch)
+        decoded = decode_fn(feats)
         img_size = batch["img"].shape[1]
         boxes, scores, labels, valid = postprocess(
             decoded,
@@ -95,12 +120,7 @@ def make_eval_step(model, loss_cfg: DetectionLossConfig, conf_threshold: float =
             max_det=max_det,
             pre_nms_topk=pre_nms_topk,
         )
-        metrics = {
-            "loss": total,
-            "box_loss": items[0],
-            "cls_loss": items[1],
-            "dfl_loss": items[2],
-        }
+        metrics = {"loss": total, **items}
         return metrics, (boxes, scores, labels, valid)
 
     return jax.jit(step)

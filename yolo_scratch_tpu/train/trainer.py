@@ -13,7 +13,8 @@ Differences by design:
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
+from pathlib import Path
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -48,6 +49,7 @@ class TrainerConfig:
     use_ema: bool = False
     eval_with_ema: bool = False
     log_interval: int = 50
+    augment: Optional[Any] = None  # data.augment.AugmentConfig; applied on device
 
 
 class Trainer:
@@ -59,14 +61,32 @@ class Trainer:
         config: TrainerConfig = TrainerConfig(),
         mesh=None,
         seed: int = 0,
+        model_kind: str = "yolo11",
     ):
+        """``model_kind``: 'yolo11' (v8 loss + DFL decode) or 'yolox'
+        (SimOTA loss + obj*cls decode). Both share the rest of the stack."""
         self.model = model
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.cfg = config
         self.mesh = mesh
+        self.model_kind = model_kind
 
         self.loss_cfg = DetectionLossConfig(nc=model.nc, strides=model.strides)
+        if model_kind == "yolox":
+            from yolo_scratch_tpu.losses.simota import YOLOXLossConfig
+            from yolo_scratch_tpu.models.yolox import yolox_eval_decode
+            from yolo_scratch_tpu.train.steps import yolox_loss_adapter
+
+            self._loss_fn = yolox_loss_adapter(
+                YOLOXLossConfig(nc=model.nc, strides=tuple(model.strides))
+            )
+            self._decode_fn = lambda feats: yolox_eval_decode(
+                feats, model.nc, tuple(model.strides)
+            )
+        else:
+            self._loss_fn = None  # steps default to the v8 adapters
+            self._decode_fn = None
         steps_per_epoch = max(len(train_loader), 1)
         schedule = cosine_epoch_schedule(
             config.lr, config.epochs, steps_per_epoch, config.warmup_epochs
@@ -83,7 +103,15 @@ class Trainer:
             from yolo_scratch_tpu.parallel.mesh import make_sharded_train_step, replicate
 
             self.state = replicate(self.state, mesh)
-            self._train_step = make_sharded_train_step(model, self.loss_cfg, mesh, donate=True)
+            self._train_step = make_sharded_train_step(
+                model, self.loss_cfg, mesh, donate=True, loss_fn=self._loss_fn
+            )
+        elif self._loss_fn is not None:
+            from yolo_scratch_tpu.train.steps import build_train_step_custom
+
+            self._train_step = jax.jit(
+                build_train_step_custom(model, self._loss_fn), donate_argnums=(0,)
+            )
         else:
             self._train_step = make_train_step(model, self.loss_cfg, donate=True)
 
@@ -95,9 +123,26 @@ class Trainer:
             max_det=config.max_det,
             pre_nms_topk=config.pre_nms_topk,
             use_ema=config.eval_with_ema,
+            loss_fn=self._loss_fn,
+            decode_fn=self._decode_fn,
         )
 
+        self._aug_key = jax.random.PRNGKey(seed + 1)
+        if config.augment is not None:
+            from yolo_scratch_tpu.data.augment import augment_batch
+
+            self._augment = lambda b, k: augment_batch(b, k, config.augment)
+        else:
+            self._augment = None
+
         self.ckpt = CheckpointManager(config.save_dir) if config.save_dir else None
+        self.logger = None
+        if config.save_dir:
+            from yolo_scratch_tpu.utils.logging import JsonlWriter, MetricsLogger
+
+            self.logger = MetricsLogger(
+                [JsonlWriter(str(Path(config.save_dir) / "metrics.jsonl"))]
+            )
         self.best_loss = float("inf")
         self.best_map50 = 0.0
         self.start_epoch = 0
@@ -123,9 +168,13 @@ class Trainer:
         t0 = time.perf_counter()
         images = 0
         collected = []  # device arrays; fetched once at epoch end (no per-step sync)
-        for batch in self.train_loader:
+        for bi, batch in enumerate(self.train_loader):
             images += batch["img"].shape[0]
-            self.state, metrics = self._train_step(self.state, self._place(batch))
+            batch = self._place(batch)
+            if self._augment is not None:
+                key = jax.random.fold_in(self._aug_key, epoch * 100003 + bi)
+                batch = self._augment(batch, key)
+            self.state, metrics = self._train_step(self.state, batch)
             collected.append(metrics)
         out: Dict[str, float] = {}
         if collected:
@@ -189,6 +238,13 @@ class Trainer:
                     f"mAP50-95 {val_metrics.get('mAP50-95', 0):.4f}"
                 )
 
+            if self.logger is not None:
+                self.logger.log(
+                    epoch,
+                    lr=lr,
+                    **{f"train/{k}": v for k, v in train_metrics.items()},
+                    **{f"val/{k}": v for k, v in val_metrics.items()},
+                )
             if self.ckpt is not None:
                 self.best_loss, self.best_map50, saved = self.ckpt.save_epoch(
                     self.state, epoch, train_metrics, val_metrics, self.best_loss, self.best_map50

@@ -1,0 +1,102 @@
+"""Standalone evaluation CLI: checkpoint + dataset -> metrics.
+
+The reference has no eval-only entry point (validation lives inside the
+trainer); this gives users a direct way to score a model: COCO-style
+P/R/mAP50/mAP50-95 plus the NASA-CDA suite (CDAquality, dGA-NMS optional).
+
+Run: ``python -m yolo_scratch_tpu.val --data <dir> --ckpt <dir> [--cda]``.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+import jax
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="Evaluate a detector")
+    p.add_argument("--data", type=str, default="synthetic")
+    p.add_argument("--dataset", type=str, default="auto",
+                   choices=["auto", "crater", "coco", "synthetic"])
+    p.add_argument("--cfg", type=str,
+                   default=str(Path(__file__).parent / "configs/yolo11_crater.yaml"))
+    p.add_argument("--scale", type=str, default="n")
+    p.add_argument("--ckpt", type=str, default=None, help="checkpoint dir")
+    p.add_argument("--which", type=str, default="best", choices=["best", "last"])
+    p.add_argument("--torch-ckpt", type=str, default=None)
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--conf", type=float, default=0.25)
+    p.add_argument("--iou", type=float, default=0.45)
+    p.add_argument("--max-gt", type=int, default=100)
+    p.add_argument("--max-batches", type=int, default=None)
+    p.add_argument("--cda", action="store_true", help="also compute the CDA scorer suite")
+    p.add_argument("--ema", action="store_true", help="evaluate EMA weights")
+    args = p.parse_args(argv)
+
+    from yolo_scratch_tpu.data.loader import Loader
+    from yolo_scratch_tpu.losses.v8_loss import DetectionLossConfig
+    from yolo_scratch_tpu.models.builder import build_yolo11
+    from yolo_scratch_tpu.train.cli import make_datasets
+    from yolo_scratch_tpu.train.optim import make_optimizer
+    from yolo_scratch_tpu.train.state import create_train_state
+    from yolo_scratch_tpu.train.steps import make_eval_step
+    from yolo_scratch_tpu.utils.metrics import (
+        detections_to_lists,
+        evaluate_cda_full,
+        evaluate_detections,
+        targets_to_lists,
+    )
+
+    ds, ch, nc = make_datasets(args)
+    loader = Loader(ds, args.batch, max_gt=args.max_gt, prefetch=2)
+
+    model = build_yolo11(args.cfg, ch=ch, nc=nc, scale=args.scale)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        np.zeros((1, args.imgsz, args.imgsz, ch), np.float32), make_optimizer(),
+        use_ema=args.ema,
+    )
+    if args.torch_ckpt:
+        from yolo_scratch_tpu.utils.torch_import import load_reference_checkpoint
+
+        params, batch_stats = load_reference_checkpoint(args.torch_ckpt)
+        state = state.replace(params=params, batch_stats=batch_stats)
+    elif args.ckpt:
+        from yolo_scratch_tpu.train.checkpoints import CheckpointManager
+
+        state, _, _, _ = CheckpointManager(args.ckpt).try_resume(state, name=args.which)
+
+    loss_cfg = DetectionLossConfig(nc=model.nc, strides=model.strides)
+    step = make_eval_step(
+        model, loss_cfg, conf_threshold=args.conf, iou_threshold=args.iou, use_ema=args.ema
+    )
+
+    all_preds, all_targets = [], []
+    losses = []
+    for i, batch in enumerate(loader):
+        if args.max_batches is not None and i >= args.max_batches:
+            break
+        metrics, (boxes, scores, labels, valid) = step(state, batch)
+        losses.append(float(metrics["loss"]))
+        all_preds.extend(detections_to_lists(boxes, scores, labels, valid))
+        all_targets.extend(
+            targets_to_lists(batch["gt_labels"], batch["gt_bboxes"], batch["gt_mask"])
+        )
+
+    out = {"loss": float(np.mean(losses)) if losses else float("nan")}
+    out.update(evaluate_detections(all_preds, all_targets, conf_threshold=args.conf))
+    if args.cda:
+        out.update({f"cda/{k}": v for k, v in evaluate_cda_full(all_preds, all_targets).items()})
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()
