@@ -112,7 +112,8 @@ def simota_assign(
 
     fg = matching.any(axis=1)
     matched_gt = jnp.argmax(matching, axis=1).astype(jnp.int32)
-    matched_iou = jnp.take_along_axis(ious, matched_gt[:, None], axis=1)[:, 0] * fg
+    # matching is one-hot per fg anchor -> masked-sum replaces the gather
+    matched_iou = (ious * matching).sum(axis=1) * fg
     return SimOTAResult(fg, matched_gt, matched_iou)
 
 
@@ -171,9 +172,15 @@ def yolox_loss(
     fg_f = fg.astype(flat.dtype)
     num_fg = jnp.maximum(fg_f.sum(), 1.0)
 
-    tgt_boxes = jnp.take_along_axis(gt_px, assign.matched_gt[..., None], axis=1)  # (B, A, 4)
+    # one-hot contraction instead of take_along_axis (gathers are scalar-
+    # core bound on TPU; the einsum rides the MXU and is exact)
+    G = gt_px.shape[1]
+    match_oh = jax.nn.one_hot(assign.matched_gt, G, dtype=flat.dtype) * fg_f[..., None]
+    tgt_boxes = jnp.einsum("bag,bgk->bak", match_oh, gt_px)  # (B, A, 4)
     safe_tgt = jnp.where(fg[..., None], tgt_boxes, pred_boxes)
-    tgt_labels = jnp.take_along_axis(gt_labels.astype(jnp.int32), assign.matched_gt, axis=1)
+    tgt_labels = jnp.einsum(
+        "bag,bg->ba", match_oh, gt_labels.astype(flat.dtype)
+    ).astype(jnp.int32)
 
     # IoU loss: 1 - iou^2 (YOLOX IOUloss default)
     x1 = jnp.maximum(pred_boxes[..., 0], safe_tgt[..., 0])

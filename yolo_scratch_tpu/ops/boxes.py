@@ -44,15 +44,20 @@ def bbox_iou(
 
     Returns IoU with the trailing size-1 axis kept (like the reference, which
     chunks the last dim and never squeezes).
+
+    TPU layout note: all internal math runs on arrays with the coordinate
+    axis REMOVED (``[..., k]``, not size-1 slices). Keeping the trailing
+    size-1 axis would make the minor (lane) dimension 1 on every temporary —
+    a 128x VPU-lane waste that dominated the assigner's runtime.
     """
     if xywh:
-        (x1, y1, w1, h1) = jnp.split(box1, 4, axis=-1)
-        (x2, y2, w2, h2) = jnp.split(box2, 4, axis=-1)
+        x1, y1, w1, h1 = box1[..., 0], box1[..., 1], box1[..., 2], box1[..., 3]
+        x2, y2, w2, h2 = box2[..., 0], box2[..., 1], box2[..., 2], box2[..., 3]
         b1_x1, b1_x2, b1_y1, b1_y2 = x1 - w1 / 2, x1 + w1 / 2, y1 - h1 / 2, y1 + h1 / 2
         b2_x1, b2_x2, b2_y1, b2_y2 = x2 - w2 / 2, x2 + w2 / 2, y2 - h2 / 2, y2 + h2 / 2
     else:
-        b1_x1, b1_y1, b1_x2, b1_y2 = jnp.split(box1, 4, axis=-1)
-        b2_x1, b2_y1, b2_x2, b2_y2 = jnp.split(box2, 4, axis=-1)
+        b1_x1, b1_y1, b1_x2, b1_y2 = box1[..., 0], box1[..., 1], box1[..., 2], box1[..., 3]
+        b2_x1, b2_y1, b2_x2, b2_y2 = box2[..., 0], box2[..., 1], box2[..., 2], box2[..., 3]
         w1, h1 = b1_x2 - b1_x1, b1_y2 - b1_y1 + eps
         w2, h2 = b2_x2 - b2_x1, b2_y2 - b2_y1 + eps
 
@@ -71,12 +76,12 @@ def bbox_iou(
             if CIoU:
                 v = (4 / math.pi**2) * (jnp.arctan(w2 / h2) - jnp.arctan(w1 / h1)) ** 2
                 alpha = jax.lax.stop_gradient(v / (v - iou + (1 + eps)))
-                return iou - (rho2 / c2 + v * alpha)
-            return iou - rho2 / c2
+                return (iou - (rho2 / c2 + v * alpha))[..., None]
+            return (iou - rho2 / c2)[..., None]
         c_area = cw * ch + eps
-        return iou - (c_area - union) / c_area
+        return (iou - (c_area - union) / c_area)[..., None]
 
-    return iou
+    return iou[..., None]
 
 
 def pairwise_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:

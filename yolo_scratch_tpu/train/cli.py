@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel mesh size (0 = single device)")
     p.add_argument("--multiscale", action="store_true",
                    help="multi-scale training over bucketed sizes {0.75, 0.875, 1, 1.125}*imgsz")
+    p.add_argument("--bf16", action="store_true",
+                   help="mixed-precision training (bf16 compute, f32 master weights)")
     p.add_argument("--augment", action="store_true",
                    help="device-side augmentation (hflip + color jitter)")
     p.add_argument("--mosaic", type=float, default=0.0,
@@ -153,6 +155,7 @@ def main(argv=None):
         use_ema=args.ema,
         eval_with_ema=args.ema,
         augment=aug_cfg,
+        mixed_precision=args.bf16,
     )
     trainer = Trainer(model, train_loader, val_loader, cfg, mesh=mesh, seed=args.seed,
                       model_kind=args.model)

@@ -55,21 +55,35 @@ def yolox_loss_adapter(loss_cfg):
     return fn
 
 
-def build_train_step_custom(model, loss_fn):
-    """Generic unjitted step; ``loss_fn(feats, batch) -> (total, metrics)``."""
+def build_train_step_custom(model, loss_fn, compute_dtype=None):
+    """Generic unjitted step; ``loss_fn(feats, batch) -> (total, metrics)``.
+
+    ``compute_dtype=jnp.bfloat16`` enables mixed precision: the forward/
+    backward run with bf16 weights and activations (MXU-native), while the
+    f32 master params, optimizer state, BN statistics and the loss itself
+    stay f32 (raw head outputs are cast back before the loss).
+    """
 
     def step(state: TrainState, batch: Dict[str, Any]):
         def wrapped(params):
+            p = params
+            if compute_dtype is not None:
+                p = jax.tree_util.tree_map(lambda x: x.astype(compute_dtype), params)
+            img = batch["img"].astype(compute_dtype) if compute_dtype is not None else batch["img"]
             feats, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["img"],
+                {"params": p, "batch_stats": state.batch_stats},
+                img,
                 train=True,
                 mutable=["batch_stats"],
             )
+            if compute_dtype is not None:
+                feats = jax.tree_util.tree_map(lambda f: f.astype(jnp.float32), feats)
             total, metrics = loss_fn(feats, batch)
             return total, (metrics, mutated["batch_stats"])
 
         (loss, (metrics, new_bs)), grads = jax.value_and_grad(wrapped, has_aux=True)(state.params)
+        if compute_dtype is not None:
+            new_bs = jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), new_bs)
         state = state.replace(batch_stats=new_bs).apply_gradients(grads)
         return state, {"loss": loss, **metrics}
 

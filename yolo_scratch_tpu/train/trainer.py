@@ -50,6 +50,7 @@ class TrainerConfig:
     eval_with_ema: bool = False
     log_interval: int = 50
     augment: Optional[Any] = None  # data.augment.AugmentConfig; applied on device
+    mixed_precision: bool = False  # bf16 fwd/bwd, f32 master weights + loss
 
 
 class Trainer:
@@ -99,21 +100,28 @@ class Trainer:
             model, jax.random.PRNGKey(seed), sample["img"][:1], tx, use_ema=config.use_ema
         )
 
+        import jax.numpy as jnp
+
+        from yolo_scratch_tpu.train.steps import build_train_step_custom, v8_loss_adapter
+
+        compute_dtype = jnp.bfloat16 if config.mixed_precision else None
+        loss_fn = self._loss_fn if self._loss_fn is not None else v8_loss_adapter(self.loss_cfg)
+        raw_step = build_train_step_custom(model, loss_fn, compute_dtype=compute_dtype)
+
         if mesh is not None:
-            from yolo_scratch_tpu.parallel.mesh import make_sharded_train_step, replicate
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from yolo_scratch_tpu.parallel.mesh import replicate
 
             self.state = replicate(self.state, mesh)
-            self._train_step = make_sharded_train_step(
-                model, self.loss_cfg, mesh, donate=True, loss_fn=self._loss_fn
-            )
-        elif self._loss_fn is not None:
-            from yolo_scratch_tpu.train.steps import build_train_step_custom
-
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("dp"))
             self._train_step = jax.jit(
-                build_train_step_custom(model, self._loss_fn), donate_argnums=(0,)
+                raw_step, in_shardings=(repl, data), out_shardings=(repl, repl),
+                donate_argnums=(0,),
             )
         else:
-            self._train_step = make_train_step(model, self.loss_cfg, donate=True)
+            self._train_step = jax.jit(raw_step, donate_argnums=(0,))
 
         self._eval_step = make_eval_step(
             model,

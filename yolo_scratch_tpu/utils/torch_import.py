@@ -81,6 +81,39 @@ def convert_reference_state_dict(
     return params, batch_stats
 
 
+def merge_pretrained(init_tree, loaded_tree, strict: bool = False):
+    """Overlay loaded weights onto an init tree, skipping missing keys and
+    shape mismatches when ``strict`` is False — the reference's partial
+    pretrained load (``models/yolo11_model.py:273-286`` uses
+    ``load_state_dict(..., strict=False)`` to tolerate first/last-layer
+    size changes, e.g. different nc or input channels).
+
+    Returns (merged_tree, skipped: list of path strings)."""
+    skipped: list[str] = []
+
+    def walk(init_node, loaded_node, path):
+        if not isinstance(init_node, dict):
+            loaded = np.asarray(loaded_node)
+            if loaded.shape != np.asarray(init_node).shape:
+                if strict:
+                    raise ValueError(f"shape mismatch at {path}: {loaded.shape}")
+                skipped.append(path)
+                return init_node
+            return loaded
+        out = {}
+        for k, v in init_node.items():
+            if isinstance(loaded_node, dict) and k in loaded_node:
+                out[k] = walk(v, loaded_node[k], f"{path}/{k}")
+            else:
+                if strict:
+                    raise KeyError(f"missing {path}/{k} in pretrained tree")
+                skipped.append(f"{path}/{k}")
+                out[k] = v
+        return out
+
+    return walk(init_tree, loaded_tree, ""), skipped
+
+
 def load_reference_checkpoint(path: str):
     """Load a reference ``last.pt``/``best.pt`` into (params, batch_stats).
 
