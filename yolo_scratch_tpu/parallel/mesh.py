@@ -18,6 +18,7 @@ shard only on ``dp``.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, Optional, Sequence
 
 import jax
@@ -89,3 +90,71 @@ def make_sharded_train_step(model, loss_cfg, mesh: Mesh, donate: bool = True, ax
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),
     )
+
+
+def make_ddp_train_step(model, loss_fn, mesh: Mesh, axis: str = "dp",
+                        sync_bn_stats: bool = True, compute_dtype=None,
+                        donate: bool = True):
+    """DDP-semantics train step via ``shard_map``: each replica computes the
+    loss/gradients on its LOCAL shard (BatchNorm normalizes over the local
+    batch — the reference's per-replica BN semantics, SURVEY §5.8), then
+    gradients are pmean'd over ICI. ``sync_bn_stats`` pmeans the *running*
+    statistics so the replicated state stays identical across replicas
+    (torch-DDP buffer-broadcast equivalence); with False, stats come from
+    replica 0 (psum of a masked contribution).
+
+    Contrast: the jit-sharding path (``make_sharded_train_step``) computes
+    BN over the GLOBAL batch (sync-BN), which equals single-device training
+    at the same global batch. Both are valid; this one matches multi-GPU
+    DDP numerics.
+    """
+    import jax.numpy as jnp
+    import optax
+
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    def local_step(state, batch):
+        def wrapped(params):
+            p = params
+            if compute_dtype is not None:
+                p = jax.tree_util.tree_map(lambda x: x.astype(compute_dtype), params)
+            img = batch["img"].astype(compute_dtype) if compute_dtype is not None else batch["img"]
+            feats, mutated = model.apply(
+                {"params": p, "batch_stats": state.batch_stats}, img,
+                train=True, mutable=["batch_stats"],
+            )
+            if compute_dtype is not None:
+                feats = jax.tree_util.tree_map(lambda f: f.astype(jnp.float32), feats)
+            total, metrics = loss_fn(feats, batch)
+            return total, (metrics, mutated["batch_stats"])
+
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(wrapped, has_aux=True)(
+            state.params
+        )
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        metrics = jax.tree_util.tree_map(lambda m: jax.lax.pmean(m, axis), metrics)
+        if sync_bn_stats:
+            new_bs = jax.tree_util.tree_map(lambda s: jax.lax.pmean(s, axis), new_bs)
+        else:
+            # replicate rank-0's stats (DDP buffer broadcast)
+            rank = jax.lax.axis_index(axis)
+            new_bs = jax.tree_util.tree_map(
+                lambda s: jax.lax.psum(jnp.where(rank == 0, s, jnp.zeros_like(s)), axis),
+                new_bs,
+            )
+        if compute_dtype is not None:
+            new_bs = jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), new_bs)
+        state = state.replace(batch_stats=new_bs).apply_gradients(grads)
+        return state, {"loss": loss, **metrics}
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())

@@ -30,9 +30,14 @@ class CheckpointManager:
     Uses orbax's StandardCheckpointer when available, with a plain
     npz+json fallback (1-core CI environments)."""
 
-    def __init__(self, save_dir: str, use_orbax: bool = True):
+    def __init__(self, save_dir: str, use_orbax: bool = True, async_save: bool = True):
+        """``async_save``: orbax writes in the background; completion is
+        awaited lazily before the *next* save (or restore) touching the same
+        checkpointer, so the epoch's checkpoint IO overlaps the next epoch's
+        compute instead of stalling the loop."""
         self.dir = Path(save_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
+        self.async_save = async_save
         self._orbax = None
         if use_orbax:
             try:
@@ -44,12 +49,17 @@ class CheckpointManager:
 
     # -- low-level ---------------------------------------------------------
 
+    def wait(self) -> None:
+        if self._orbax is not None:
+            self._orbax.wait_until_finished()
+
     def _save_tree(self, name: str, tree: Dict[str, Any]) -> None:
         path = (self.dir / name).resolve()
         if self._orbax is not None:
+            self.wait()  # previous async save must land before overwriting
             self._orbax.save(path, _to_numpy_tree(tree), force=True)
-            # orbax save is async-capable; wait so 'last' is crash-consistent
-            self._orbax.wait_until_finished()
+            if not self.async_save:
+                self._orbax.wait_until_finished()
         else:
             flat, treedef = jax.tree_util.tree_flatten(_to_numpy_tree(tree))
             np.savez(str(path) + ".npz", *flat)
@@ -57,6 +67,8 @@ class CheckpointManager:
 
     def _restore_tree(self, name: str, target: Dict[str, Any]) -> Dict[str, Any]:
         path = (self.dir / name).resolve()
+        if self._orbax is not None:
+            self.wait()
         if self._orbax is not None and path.is_dir():
             return self._orbax.restore(path, target=_to_numpy_tree(target))
         npz = np.load(str(path) + ".npz", allow_pickle=False)

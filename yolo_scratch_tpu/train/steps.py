@@ -55,14 +55,26 @@ def yolox_loss_adapter(loss_cfg):
     return fn
 
 
-def build_train_step_custom(model, loss_fn, compute_dtype=None):
+def build_train_step_custom(model, loss_fn, compute_dtype=None, remat: bool = False):
     """Generic unjitted step; ``loss_fn(feats, batch) -> (total, metrics)``.
 
     ``compute_dtype=jnp.bfloat16`` enables mixed precision: the forward/
     backward run with bf16 weights and activations (MXU-native), while the
     f32 master params, optimizer state, BN statistics and the loss itself
     stay f32 (raw head outputs are cast back before the loss).
+
+    ``remat=True`` wraps the forward in ``jax.checkpoint``: activations are
+    recomputed during the backward pass instead of stored (~ +1/3 compute
+    for O(layer) -> O(1) activation memory — the XLA-native equivalent of
+    gradient checkpointing; lets batch/resolution scale past HBM).
     """
+
+    def forward(p, bs, img):
+        return model.apply(
+            {"params": p, "batch_stats": bs}, img, train=True, mutable=["batch_stats"]
+        )
+
+    fwd = jax.checkpoint(forward) if remat else forward
 
     def step(state: TrainState, batch: Dict[str, Any]):
         def wrapped(params):
@@ -70,12 +82,7 @@ def build_train_step_custom(model, loss_fn, compute_dtype=None):
             if compute_dtype is not None:
                 p = jax.tree_util.tree_map(lambda x: x.astype(compute_dtype), params)
             img = batch["img"].astype(compute_dtype) if compute_dtype is not None else batch["img"]
-            feats, mutated = model.apply(
-                {"params": p, "batch_stats": state.batch_stats},
-                img,
-                train=True,
-                mutable=["batch_stats"],
-            )
+            feats, mutated = fwd(p, state.batch_stats, img)
             if compute_dtype is not None:
                 feats = jax.tree_util.tree_map(lambda f: f.astype(jnp.float32), feats)
             total, metrics = loss_fn(feats, batch)
