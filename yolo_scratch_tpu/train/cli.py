@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-scale training over bucketed sizes {0.75, 0.875, 1, 1.125}*imgsz")
     p.add_argument("--bf16", action="store_true",
                    help="mixed-precision training (bf16 compute, f32 master weights)")
+    p.add_argument("--remat", action="store_true",
+                   help="gradient checkpointing (activation recompute)")
+    p.add_argument("--bn-mode", type=str, default="sync", choices=["sync", "local"],
+                   help="BatchNorm under --mesh: global-batch sync-BN or DDP per-replica")
     p.add_argument("--augment", action="store_true",
                    help="device-side augmentation (hflip + color jitter)")
     p.add_argument("--mosaic", type=float, default=0.0,
@@ -156,6 +160,8 @@ def main(argv=None):
         eval_with_ema=args.ema,
         augment=aug_cfg,
         mixed_precision=args.bf16,
+        remat=args.remat,
+        bn_mode=args.bn_mode,
     )
     trainer = Trainer(model, train_loader, val_loader, cfg, mesh=mesh, seed=args.seed,
                       model_kind=args.model)

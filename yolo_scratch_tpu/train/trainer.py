@@ -51,6 +51,8 @@ class TrainerConfig:
     log_interval: int = 50
     augment: Optional[Any] = None  # data.augment.AugmentConfig; applied on device
     mixed_precision: bool = False  # bf16 fwd/bwd, f32 master weights + loss
+    remat: bool = False  # activation recompute (jax.checkpoint) in backward
+    bn_mode: str = "sync"  # 'sync' (global-batch BN) | 'local' (DDP per-replica)
 
 
 class Trainer:
@@ -106,9 +108,18 @@ class Trainer:
 
         compute_dtype = jnp.bfloat16 if config.mixed_precision else None
         loss_fn = self._loss_fn if self._loss_fn is not None else v8_loss_adapter(self.loss_cfg)
-        raw_step = build_train_step_custom(model, loss_fn, compute_dtype=compute_dtype)
+        raw_step = build_train_step_custom(
+            model, loss_fn, compute_dtype=compute_dtype, remat=config.remat
+        )
 
-        if mesh is not None:
+        if mesh is not None and config.bn_mode == "local":
+            from yolo_scratch_tpu.parallel.mesh import make_ddp_train_step, replicate
+
+            self.state = replicate(self.state, mesh)
+            self._train_step = make_ddp_train_step(
+                model, loss_fn, mesh, compute_dtype=compute_dtype, donate=True
+            )
+        elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from yolo_scratch_tpu.parallel.mesh import replicate
