@@ -39,8 +39,12 @@ def main():
     def infer(variables, x):
         feats = model.apply(variables, x.astype(jnp.bfloat16), train=False)
         decoded = model.decode([f.astype(jnp.float32) for f in feats])
+        # NMS impl crossover: the Pallas batch-in-kernel sweep wins up to
+        # ~B=32 (1.57 vs 2.32 ms at N=512); XLA's cross-batch loop wins at
+        # large batch (4625 vs 4538 img/s headline at B=128).
         return postprocess(decoded, img_size=img, conf_threshold=0.25,
-                           iou_threshold=0.45, max_det=300, pre_nms_topk=512)
+                           iou_threshold=0.45, max_det=300, pre_nms_topk=512,
+                           nms_impl="pallas" if batch <= 32 else "xla")
 
     x = jnp.asarray(np.random.RandomState(0).rand(batch, img, img, ch), jnp.float32)
 

@@ -24,6 +24,57 @@ def test_pallas_nms_matches_xla(seed, n):
     np.testing.assert_array_equal(ours, ref)
 
 
+def test_pallas_batched_matches_xla():
+    from yolo_scratch_tpu.ops.nms import nms
+    from yolo_scratch_tpu.ops.pallas_nms import nms_pallas_batched
+
+    import jax
+
+    rng = np.random.RandomState(4)
+    B, n = 3, 64
+    c = rng.rand(B, n, 2).astype(np.float32) * 64
+    wh = rng.rand(B, n, 2).astype(np.float32) * 25 + 3
+    boxes = np.concatenate([c - wh / 2, c + wh / 2], -1)
+    scores = rng.rand(B, n).astype(np.float32)
+    valid = scores > 0.2
+
+    ref = np.asarray(
+        jax.vmap(lambda b, s, v: nms(b, s, iou_threshold=0.5, max_det=20, valid=v))(
+            boxes, scores, valid
+        )
+    )
+    ours = np.asarray(
+        nms_pallas_batched(boxes, scores, valid, iou_threshold=0.5, max_det=20, interpret=True)
+    )
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_postprocess_pallas_impl_matches_xla():
+    from yolo_scratch_tpu.ops.decode import postprocess
+
+    rng = np.random.RandomState(0)
+    B, A, nc = 2, 120, 5
+    pred = np.zeros((B, A, 4 + nc), np.float32)
+    pred[..., 0:2] = rng.rand(B, A, 2) * 64
+    pred[..., 2:4] = rng.rand(B, A, 2) * 20 + 2
+    pred[..., 4:] = rng.rand(B, A, nc).astype(np.float32)
+
+    a = postprocess(pred, img_size=64, conf_threshold=0.25, max_det=20, pre_nms_topk=64,
+                    nms_impl="xla")
+    b = postprocess(pred, img_size=64, conf_threshold=0.25, max_det=20, pre_nms_topk=64,
+                    nms_impl="pallas")
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # B=1 path (transposed single-image kernel)
+    a1 = postprocess(pred[:1], img_size=64, conf_threshold=0.25, max_det=20,
+                     pre_nms_topk=64, nms_impl="xla")
+    b1 = postprocess(pred[:1], img_size=64, conf_threshold=0.25, max_det=20,
+                     pre_nms_topk=64, nms_impl="pallas")
+    for x, y in zip(a1, b1):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_pallas_nms_max_det():
     from yolo_scratch_tpu.ops.pallas_nms import nms_pallas
 

@@ -73,6 +73,7 @@ class Predictor:
                 max_det=cfg.max_det,
                 pre_nms_topk=cfg.pre_nms_topk,
                 class_aware=cfg.class_aware_nms,
+                nms_impl="xla" if cfg.class_aware_nms else "pallas",
             )
 
         self._infer = jax.jit(_infer)

@@ -18,16 +18,9 @@ from yolo_scratch_tpu.ops.boxes import xywh2xyxy
 from yolo_scratch_tpu.ops.nms import gather_topk_detections, nms
 
 
-def _postprocess_single(
-    pred: jnp.ndarray,  # (A, 4+nc): xywh pixels + sigmoided class scores
-    img_size: int,
-    conf_threshold: float,
-    iou_threshold: float,
-    max_det: int,
-    pre_nms_topk: int,
-    class_aware: bool,
-    nms_impl: str = "xla",
-):
+def _prefilter_single(pred: jnp.ndarray, conf_threshold: float, pre_nms_topk: int):
+    """(A, 4+nc) -> score-sorted top-k candidates (boxes xyxy px, scores,
+    labels, valid)."""
     boxes_xywh = pred[:, :4]
     cls_scores = pred[:, 4:]
     scores = jnp.max(cls_scores, axis=-1)
@@ -40,29 +33,7 @@ def _postprocess_single(
     top_boxes = xywh2xyxy(boxes_xywh[top_idx])
     top_labels = labels[top_idx]
     top_scores = jnp.where(top_valid, top_scores, 0.0)
-
-    if nms_impl == "pallas" and not class_aware:
-        from yolo_scratch_tpu.ops.pallas_nms import nms_pallas
-
-        keep = nms_pallas(
-            top_boxes, top_scores, iou_threshold=iou_threshold, max_det=max_det,
-            valid=top_valid,
-        )
-    else:
-        keep = nms(
-            top_boxes,
-            top_scores,
-            iou_threshold=iou_threshold,
-            max_det=max_det,
-            valid=top_valid,
-            class_ids=top_labels,
-            class_aware=class_aware,
-        )
-    boxes, scores_o, labels_o, valid = gather_topk_detections(
-        top_boxes, top_scores, top_labels, keep, max_det
-    )
-    boxes = jnp.clip(boxes / img_size, 0.0, 1.0)
-    return boxes, scores_o, labels_o, valid
+    return top_boxes, top_scores, top_labels, top_valid
 
 
 @partial(
@@ -85,17 +56,37 @@ def postprocess(
     """Batched postprocess. Returns (boxes (B, max_det, 4) normalized xyxy,
     scores (B, max_det), labels (B, max_det), valid (B, max_det)).
 
-    ``nms_impl``: 'xla' (default — fastest batched: the suppression loop
-    vectorizes across the batch) or 'pallas' (single-kernel VMEM sweep —
-    ~1.5x lower single-image latency; the tracked NMS-p50 path)."""
-    fn = partial(
-        _postprocess_single,
-        img_size=img_size,
-        conf_threshold=conf_threshold,
-        iou_threshold=iou_threshold,
-        max_det=max_det,
-        pre_nms_topk=pre_nms_topk,
-        class_aware=class_aware,
-        nms_impl=nms_impl,
-    )
-    return jax.vmap(fn)(decoded)
+    ``nms_impl``: 'pallas' (class-agnostic; whole batch suppressed in one
+    VMEM kernel — measured 1.57 ms vs 2.32 ms XLA at B=32/N=512, and the
+    single-image transposed kernel is the tracked 0.95 ms NMS-p50 path) or
+    'xla' (default; also the class-aware path)."""
+    boxes, scores, labels, valid = jax.vmap(
+        partial(_prefilter_single, conf_threshold=conf_threshold, pre_nms_topk=pre_nms_topk)
+    )(decoded)
+
+    if nms_impl == "pallas" and not class_aware:
+        from yolo_scratch_tpu.ops.pallas_nms import nms_pallas_batched, nms_sweep_pallas
+
+        if boxes.shape[0] == 1:
+            # B=1: the transposed single-image kernel has the lowest latency;
+            # candidates are already score-sorted from top_k.
+            keep = nms_sweep_pallas(boxes[0], valid[0], iou_threshold)[None]
+            rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+            keep = keep & (rank < max_det)
+        else:
+            keep = nms_pallas_batched(
+                boxes, scores, valid, iou_threshold=iou_threshold, max_det=max_det
+            )
+    else:
+        keep = jax.vmap(
+            lambda b, s, v, c: nms(
+                b, s, iou_threshold=iou_threshold, max_det=max_det, valid=v,
+                class_ids=c, class_aware=class_aware,
+            )
+        )(boxes, scores, valid, labels)
+
+    out_b, out_s, out_l, out_v = jax.vmap(
+        partial(gather_topk_detections, max_det=max_det)
+    )(boxes, scores, labels, keep)
+    out_b = jnp.clip(out_b / img_size, 0.0, 1.0)
+    return out_b, out_s, out_l, out_v

@@ -99,6 +99,93 @@ def nms_sweep_pallas(
     return out[0, :n0] > 0.5
 
 
+def _nms_kernel_batched(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, out_ref,
+                        *, iou_threshold: float, n: int):
+    """Whole-batch greedy sweep: rows are images (sublanes), lanes are boxes.
+
+    One kernel launch for the full batch — each sequential step suppresses
+    across every image at once (the vmap-of-kernel alternative serializes
+    per-image grid programs)."""
+    x1 = x1_ref[:, :]  # (B, N)
+    y1 = y1_ref[:, :]
+    x2 = x2_ref[:, :]
+    y2 = y2_ref[:, :]
+    valid = valid_ref[:, :]
+    b = x1.shape[0]
+    area = (x2 - x1) * (y2 - y1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+
+    def body(i, supp):
+        onehot = idx == i  # (B, N) — column i
+
+        def pick(row):
+            return jnp.sum(jnp.where(onehot, row, 0.0), axis=1, keepdims=True)  # (B, 1)
+
+        bx1, by1, bx2, by2 = pick(x1), pick(y1), pick(x2), pick(y2)
+        kept = (pick(valid) > 0.5) & (pick(supp) < 0.5)  # (B, 1)
+
+        ix1 = jnp.maximum(x1, bx1)
+        iy1 = jnp.maximum(y1, by1)
+        ix2 = jnp.minimum(x2, bx2)
+        iy2 = jnp.minimum(y2, by2)
+        inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
+        b_area = (bx2 - bx1) * (by2 - by1)
+        iou = inter / (area + b_area - inter + 1e-6)
+
+        kill = kept & (iou > iou_threshold) & (idx > i)
+        return jnp.where(kill, 1.0, supp)
+
+    supp = jax.lax.fori_loop(0, n, body, jnp.zeros_like(x1))
+    out_ref[:, :] = valid * (1.0 - supp)
+
+
+@partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
+def nms_sweep_pallas_batched(
+    boxes_sorted: jnp.ndarray,  # (B, N, 4) xyxy, each row SCORE-DESCENDING
+    valid_sorted: jnp.ndarray,  # (B, N) bool
+    iou_threshold: float = 0.45,
+    interpret: bool | None = None,
+):
+    """Batched greedy suppression -> keep (B, N) bool."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, n0 = boxes_sorted.shape[:2]
+    n = max(((n0 + 127) // 128) * 128, 128)
+    coords = [
+        _pad_to(boxes_sorted[..., k].astype(jnp.float32), n, axis=1) for k in range(4)
+    ]
+    valid = _pad_to(valid_sorted.astype(jnp.float32), n, axis=1)
+
+    space = pl.ANY if interpret else pltpu.VMEM
+    out = pl.pallas_call(
+        partial(_nms_kernel_batched, iou_threshold=iou_threshold, n=n),
+        out_shape=jax.ShapeDtypeStruct((B, n), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=space)] * 5,
+        out_specs=pl.BlockSpec(memory_space=space),
+        interpret=interpret,
+    )(*coords, valid)
+    return out[:, :n0] > 0.5
+
+
+def nms_pallas_batched(
+    boxes: jnp.ndarray,  # (B, N, 4)
+    scores: jnp.ndarray,  # (B, N)
+    valid: jnp.ndarray,  # (B, N)
+    iou_threshold: float = 0.45,
+    max_det: int = 300,
+    interpret: bool | None = None,
+):
+    """Batched drop-in for vmapped ``ops.nms.nms`` (class-agnostic)."""
+    order = jnp.argsort(-scores, axis=1)
+    boxes_s = jnp.take_along_axis(boxes, order[..., None], axis=1)
+    valid_s = jnp.take_along_axis(valid, order, axis=1)
+    keep_s = nms_sweep_pallas_batched(boxes_s, valid_s, iou_threshold, interpret=interpret)
+    rank = jnp.cumsum(keep_s.astype(jnp.int32), axis=1) - 1
+    keep_s = keep_s & (rank < max_det)
+    out = jnp.zeros_like(keep_s)
+    return out.at[jnp.arange(boxes.shape[0])[:, None], order].set(keep_s)
+
+
 def nms_pallas(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
