@@ -123,6 +123,31 @@ def test_decoded_inference_parity(torch_and_jax_models):
     )
 
 
+@requires_reference
+def test_param_count_matches_s_scale(reference_path):
+    """Builder width/depth scaling parity at s-scale (n covered above)."""
+    import torch
+    from models.yolo11_model import build_yolo11 as torch_build
+
+    import jax
+    from yolo_scratch_tpu.models.builder import build_yolo11
+
+    torch.manual_seed(0)
+    cfg_path = str(reference_path / "configs/yolo11n_crater.yaml")
+    import yaml as _yaml
+
+    with open(cfg_path) as fh:
+        cfg = _yaml.safe_load(fh)
+    cfg["scale"] = "s"
+    tmodel = torch_build(cfg=cfg, ch=1, nc=5)
+    n_torch = sum(p.numel() for p in tmodel.parameters())
+
+    jmodel = build_yolo11(CFG, ch=1, nc=5, scale="s")
+    variables = jmodel.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 1), np.float32))
+    n_flax = sum(np.asarray(x).size for x in jax.tree_util.tree_leaves(variables["params"]))
+    assert n_torch - n_flax == 16  # frozen DFL conv
+
+
 def test_forward_shapes_no_reference():
     """Pure-JAX shape smoke (runs even without the reference mount)."""
     import jax
