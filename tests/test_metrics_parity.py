@@ -130,3 +130,22 @@ def test_metrics_basic_sanity():
     }
     m = evaluate_detections([miss], [gt])
     assert m["precision"] == 0.0 and m["mAP50"] == 0.0
+
+
+def test_per_class_breakdown():
+    from yolo_scratch_tpu.utils.metrics import evaluate_per_class
+
+    gt = {
+        "boxes": np.asarray([[0.1, 0.1, 0.3, 0.3], [0.5, 0.5, 0.7, 0.7]], np.float32),
+        "labels": np.asarray([0, 1]),
+    }
+    pred = {
+        "boxes": gt["boxes"].copy(),
+        "scores": np.asarray([0.9, 0.8], np.float32),
+        "labels": np.asarray([0, 2]),  # class-1 GT mispredicted as class 2
+    }
+    out = evaluate_per_class([pred], [gt], num_classes=3, class_names=["a", "b", "c"])
+    assert out["a"]["AP50"] == pytest.approx(1.0)
+    assert out["b"]["AP50"] == 0.0  # GT exists, no class-1 prediction
+    assert out["c"]["AP50"] == 0.0  # prediction exists, no class-2 GT
+    assert out["c"]["precision"] == 0.0

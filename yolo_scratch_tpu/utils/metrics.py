@@ -154,6 +154,41 @@ def evaluate_detections(
     }
 
 
+def evaluate_per_class(
+    predictions: List[Dict],
+    targets: List[Dict],
+    num_classes: int,
+    conf_threshold: float = 0.25,
+    class_names: Optional[Sequence[str]] = None,
+) -> Dict[str, Dict[str, float]]:
+    """Per-class AP50/AP50-95 breakdown (extension — the reference evaluator
+    is class-agnostic). Each class is scored independently by restricting
+    predictions and targets to that class and reusing the same matcher."""
+    out: Dict[str, Dict[str, float]] = {}
+    for c in range(num_classes):
+        preds_c, tgts_c = [], []
+        for p, t in zip(predictions, targets):
+            pl = np.asarray(p["labels"]).reshape(-1)
+            tl = np.asarray(t["labels"]).reshape(-1)
+            pm = pl == c
+            tm = tl == c
+            preds_c.append(
+                {
+                    "boxes": np.asarray(p["boxes"]).reshape(-1, 4)[pm],
+                    "scores": np.asarray(p["scores"]).reshape(-1)[pm],
+                    "labels": pl[pm],
+                }
+            )
+            tgts_c.append(
+                {"boxes": np.asarray(t["boxes"]).reshape(-1, 4)[tm], "labels": tl[tm]}
+            )
+        name = class_names[c] if class_names else str(c)
+        m = evaluate_detections(preds_c, tgts_c, conf_threshold=conf_threshold)
+        out[name] = {"AP50": m["mAP50"], "AP50-95": m["mAP50-95"],
+                     "precision": m["precision"], "recall": m["recall"]}
+    return out
+
+
 def detections_to_lists(boxes, scores, labels, valid) -> List[Dict]:
     """Fixed-shape eval-step outputs (B, max_det, ...) -> per-image dicts."""
     out = []

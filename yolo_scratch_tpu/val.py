@@ -37,6 +37,7 @@ def main(argv=None):
     p.add_argument("--max-gt", type=int, default=100)
     p.add_argument("--max-batches", type=int, default=None)
     p.add_argument("--cda", action="store_true", help="also compute the CDA scorer suite")
+    p.add_argument("--per-class", action="store_true", help="per-class AP breakdown")
     p.add_argument("--ema", action="store_true", help="evaluate EMA weights")
     args = p.parse_args(argv)
 
@@ -94,6 +95,11 @@ def main(argv=None):
     out.update(evaluate_detections(all_preds, all_targets, conf_threshold=args.conf))
     if args.cda:
         out.update({f"cda/{k}": v for k, v in evaluate_cda_full(all_preds, all_targets).items()})
+    if args.per_class:
+        from yolo_scratch_tpu.utils.metrics import evaluate_per_class
+
+        per = evaluate_per_class(all_preds, all_targets, nc, conf_threshold=args.conf)
+        out.update({f"class/{name}/{k}": v for name, d in per.items() for k, v in d.items()})
     print(json.dumps(out))
     return out
 
