@@ -330,6 +330,33 @@ void yst_prepare_batch(const char** paths, int n, int S, int channels, int lette
   p.wait();
 }
 
+// uint8 variant: skips normalization — 4x less host->device transfer; the
+// /255 cast runs fused on the accelerator instead.
+void yst_prepare_batch_u8(const char** paths, int n, int S, int channels, int letterbox,
+                          uint8_t pad_value, int nthreads, uint8_t* out, float* meta,
+                          int32_t* status) {
+  Pool& p = pool(std::max(nthreads, 1));
+  size_t slot = (size_t)S * S * channels;
+  for (int i = 0; i < n; ++i) {
+    p.submit([=] {
+      int w = 0, h = 0, px = 0, py = 0;
+      float sc = 0.f;
+      std::vector<float> tmp(slot);
+      status[i] = prepare_one(paths[i], S, channels, letterbox, pad_value, tmp.data(),
+                              &w, &h, &sc, &px, &py);
+      uint8_t* dst = out + slot * i;
+      for (size_t k = 0; k < slot; ++k)
+        dst[k] = (uint8_t)(tmp[k] * 255.0f + 0.5f);
+      meta[i * 5 + 0] = (float)w;
+      meta[i * 5 + 1] = (float)h;
+      meta[i * 5 + 2] = sc;
+      meta[i * 5 + 3] = (float)px;
+      meta[i * 5 + 4] = (float)py;
+    });
+  }
+  p.wait();
+}
+
 int yst_version() { return 1; }
 
 }  // extern "C"

@@ -68,3 +68,11 @@ def test_rgb_and_error_paths(sample_files):
 
     out, meta, status = native.prepare_batch(["/nonexistent.png"], 32, channels=1, threads=1)
     assert status[0] != 0
+
+
+def test_prepare_batch_u8_matches_f32(sample_files):
+    f32, m1, s1 = native.prepare_batch([sample_files["png"]], 64, channels=1)
+    u8, m2, s2 = native.prepare_batch([sample_files["png"]], 64, channels=1, dtype="uint8")
+    assert u8.dtype == np.uint8 and s2.tolist() == [0]
+    np.testing.assert_allclose(u8[0, ..., 0] / 255.0, f32[0, ..., 0], atol=1 / 255)
+    np.testing.assert_array_equal(m1, m2)

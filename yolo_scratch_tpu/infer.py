@@ -37,6 +37,7 @@ class PredictorConfig:
     fuse_bn: bool = True
     class_aware_nms: bool = False
     host_threads: int = 4
+    u8_transfer: bool = True  # ship uint8 to the device; /255 runs in-jit
 
 
 class Predictor:
@@ -62,7 +63,9 @@ class Predictor:
         cfg = config
 
         def _infer(v, x):
-            xx = x.astype(jnp.bfloat16) if cfg.bf16 else x
+            xx = x.astype(jnp.bfloat16) if cfg.bf16 else x.astype(jnp.float32)
+            if x.dtype == jnp.uint8:
+                xx = xx / 255.0
             feats = model.apply(v, xx, train=False)
             decoded = model.decode([f.astype(jnp.float32) for f in feats])
             return postprocess(
@@ -90,6 +93,7 @@ class Predictor:
             imgs, meta, status = native.prepare_batch(
                 paths, S, channels=ch, letterbox=self.cfg.letterbox,
                 threads=self.cfg.host_threads,
+                dtype="uint8" if self.cfg.u8_transfer else "float32",
             )
             if (status != 0).any():
                 bad = [p for p, s in zip(paths, status) if s != 0]
