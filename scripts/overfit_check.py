@@ -14,7 +14,7 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def main(epochs: int = 60):
+def main(epochs: int = 60, bf16: bool = False):
     from yolo_scratch_tpu.data.loader import Loader
     from yolo_scratch_tpu.data.synthetic import SyntheticDataset
     from yolo_scratch_tpu.models.builder import build_yolo11
@@ -27,7 +27,7 @@ def main(epochs: int = 60):
     model = build_yolo11("yolo_scratch_tpu/configs/yolo11_crater.yaml", ch=1, nc=5, scale="n")
     cfg = TrainerConfig(
         epochs=epochs, lr=2e-3, warmup_epochs=3, val_conf=0.25, pre_nms_topk=256,
-        max_det=50,
+        max_det=50, mixed_precision=bf16,
     )
     trainer = Trainer(model, train_loader, val_loader, cfg)
     result = trainer.fit(resume=False)
@@ -39,9 +39,13 @@ def main(epochs: int = 60):
         "final_recall": final.get("recall", 0.0),
         "final_loss": final.get("loss", float("nan")),
         "epochs": epochs,
+        "bf16": bf16,
     }))
     return final
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 60)
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 60,
+        bf16="--bf16" in sys.argv,
+    )
