@@ -8,3 +8,9 @@ from yolo_scratch_tpu.ops.boxes import (  # noqa: F401
 )
 from yolo_scratch_tpu.ops.anchors import make_anchors  # noqa: F401
 from yolo_scratch_tpu.ops.nms import nms, batched_nms  # noqa: F401
+from yolo_scratch_tpu.ops.pallas_nms import (  # noqa: F401
+    nms_pallas,
+    nms_pallas_batched,
+)
+from yolo_scratch_tpu.ops.dga_nms import dga_nms_device, pairwise_dga  # noqa: F401
+from yolo_scratch_tpu.ops.decode import postprocess  # noqa: F401
