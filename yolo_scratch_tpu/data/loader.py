@@ -34,9 +34,12 @@ class Loader:
     """Iterates fixed-shape batches over a map-style dataset.
 
     Batch dict: img (B,H,W,C) f32, gt_labels (B,G) i32,
-    gt_bboxes (B,G,4) f32 xyxy-normalized, gt_mask (B,G) bool.
+    gt_bboxes (B,G,4) f32 xyxy-normalized, gt_mask (B,G) bool,
+    sample_valid (B,) bool.
     The final short batch is padded by wrapping (drop_last=False semantics
-    with static shapes).
+    with static shapes); ``sample_valid`` is False on the wrap-padding
+    duplicates so eval paths score each image exactly once (the reference
+    evaluates every val image once, ``train_yolo11_cuda.py:101-262``).
     """
 
     def __init__(
@@ -104,7 +107,9 @@ class Loader:
                     ) / 255.0
             return out
 
-    def _make_batch(self, idxs: np.ndarray, batch_index: int = 0) -> Dict[str, np.ndarray]:
+    def _make_batch(
+        self, idxs: np.ndarray, batch_index: int = 0, valid: Optional[np.ndarray] = None
+    ) -> Dict[str, np.ndarray]:
         imgs, boxes_list, labels_list = [], [], []
         for i in idxs:
             img, boxes, labels = self.ds[int(i)]
@@ -121,27 +126,35 @@ class Loader:
             "gt_labels": gl,
             "gt_bboxes": gb,
             "gt_mask": gm,
+            "sample_valid": (
+                valid.copy() if valid is not None else np.ones(len(idxs), dtype=bool)
+            ),
         }
 
-    def _epoch_indices(self) -> np.ndarray:
+    def _epoch_indices(self) -> "tuple[np.ndarray, np.ndarray]":
+        """Epoch index order plus a per-position validity flag (False on the
+        wrap-padding duplicates of the final short batch)."""
         idxs = self.indices.copy()
         if self.shuffle:
             np.random.RandomState(self.seed + self.epoch).shuffle(idxs)
         n = len(idxs)
         B = self.batch_size
         pad = (-n) % B
+        valid = np.ones(n + pad, dtype=bool)
         if pad:
             idxs = np.concatenate([idxs, idxs[:pad]])
-        return idxs
+            valid[n:] = False
+        return idxs, valid
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        idxs = self._epoch_indices()
+        idxs, valid = self._epoch_indices()
         self.epoch += 1
         chunks = idxs.reshape(-1, self.batch_size)
+        valid_chunks = valid.reshape(-1, self.batch_size)
 
         if self.prefetch <= 0:
             for bi, chunk in enumerate(chunks):
-                yield self._make_batch(chunk, bi)
+                yield self._make_batch(chunk, bi, valid_chunks[bi])
             return
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -150,7 +163,7 @@ class Loader:
         def worker():
             try:
                 for bi, chunk in enumerate(chunks):
-                    q.put(self._make_batch(chunk, bi))
+                    q.put(self._make_batch(chunk, bi, valid_chunks[bi]))
             finally:
                 q.put(SENTINEL)
 

@@ -53,6 +53,10 @@ class TrainerConfig:
     mixed_precision: bool = False  # bf16 fwd/bwd, f32 master weights + loss
     remat: bool = False  # activation recompute (jax.checkpoint) in backward
     bn_mode: str = "sync"  # 'sync' (global-batch BN) | 'local' (DDP per-replica)
+    # Final no-aug phase (YOLOX paper recipe: last ~15 epochs train with
+    # mosaic/strong aug OFF; for YOLOX the L1 reg loss also turns ON).
+    # 0 disables the phase.
+    final_epochs: int = 0
 
 
 class Trainer:
@@ -76,6 +80,7 @@ class Trainer:
         self.model_kind = model_kind
 
         self.loss_cfg = DetectionLossConfig(nc=model.nc, strides=model.strides)
+        self._loss_fn_final = None  # final-phase loss (YOLOX: use_l1=True)
         if model_kind == "yolox":
             from yolo_scratch_tpu.losses.simota import YOLOXLossConfig
             from yolo_scratch_tpu.models.yolox import yolox_eval_decode
@@ -84,6 +89,10 @@ class Trainer:
             self._loss_fn = yolox_loss_adapter(
                 YOLOXLossConfig(nc=model.nc, strides=tuple(model.strides))
             )
+            if config.final_epochs > 0:
+                self._loss_fn_final = yolox_loss_adapter(
+                    YOLOXLossConfig(nc=model.nc, strides=tuple(model.strides), use_l1=True)
+                )
             self._decode_fn = lambda feats: yolox_eval_decode(
                 feats, model.nc, tuple(model.strides)
             )
@@ -102,40 +111,62 @@ class Trainer:
             model, jax.random.PRNGKey(seed), sample["img"][:1], tx, use_ema=config.use_ema
         )
 
-        import jax.numpy as jnp
+        from yolo_scratch_tpu.train.steps import v8_loss_adapter
 
-        from yolo_scratch_tpu.train.steps import build_train_step_custom, v8_loss_adapter
+        if mesh is None and config.bn_mode == "local":
+            import warnings
 
-        compute_dtype = jnp.bfloat16 if config.mixed_precision else None
-        loss_fn = self._loss_fn if self._loss_fn is not None else v8_loss_adapter(self.loss_cfg)
-        raw_step = build_train_step_custom(
-            model, loss_fn, compute_dtype=compute_dtype, remat=config.remat
-        )
-
-        if mesh is not None and config.bn_mode == "local":
-            from yolo_scratch_tpu.parallel.mesh import make_ddp_train_step, replicate
-
-            self.state = replicate(self.state, mesh)
-            self._train_step = make_ddp_train_step(
-                model, loss_fn, mesh, compute_dtype=compute_dtype, donate=True
+            warnings.warn(
+                "bn_mode='local' has no effect without a mesh — training uses "
+                "single-device BN (identical to 'sync' at mesh size 1)",
+                stacklevel=2,
             )
-        elif mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
+        loss_fn = self._loss_fn if self._loss_fn is not None else v8_loss_adapter(self.loss_cfg)
+        if mesh is not None:
             from yolo_scratch_tpu.parallel.mesh import replicate
 
             self.state = replicate(self.state, mesh)
+        self._train_step = self._wrap_train_step(loss_fn)
+        # Final-phase step (different loss -> one extra compile); built lazily
+        # at the phase transition so runs that never reach it pay nothing.
+        self._train_step_final = None
+        self._finish_init(seed)
+
+    def _wrap_train_step(self, loss_fn):
+        """Compile ``loss_fn`` into a train step honoring mesh/bn_mode/bf16/
+        remat config. ``self.state`` must already be placed (replicated)."""
+        import jax.numpy as jnp
+
+        from yolo_scratch_tpu.train.steps import build_train_step_custom
+
+        config, mesh, model = self.cfg, self.mesh, self.model
+        compute_dtype = jnp.bfloat16 if config.mixed_precision else None
+
+        if mesh is not None and config.bn_mode == "local":
+            from yolo_scratch_tpu.parallel.mesh import make_ddp_train_step
+
+            return make_ddp_train_step(
+                model, loss_fn, mesh, compute_dtype=compute_dtype, donate=True,
+                remat=config.remat,
+            )
+        raw_step = build_train_step_custom(
+            model, loss_fn, compute_dtype=compute_dtype, remat=config.remat
+        )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
             repl = NamedSharding(mesh, P())
             data = NamedSharding(mesh, P("dp"))
-            self._train_step = jax.jit(
+            return jax.jit(
                 raw_step, in_shardings=(repl, data), out_shardings=(repl, repl),
                 donate_argnums=(0,),
             )
-        else:
-            self._train_step = jax.jit(raw_step, donate_argnums=(0,))
+        return jax.jit(raw_step, donate_argnums=(0,))
 
+    def _finish_init(self, seed: int):
+        config = self.cfg
         self._eval_step = make_eval_step(
-            model,
+            self.model,
             self.loss_cfg,
             conf_threshold=config.val_conf,
             iou_threshold=config.nms_iou,
@@ -183,17 +214,28 @@ class Trainer:
             return shard_batch(batch, self.mesh)
         return batch
 
+    def _in_final_phase(self, epoch: int) -> bool:
+        """Last ``final_epochs`` epochs: augmentation off (+ L1 on for YOLOX),
+        per the YOLOX paper's no-aug end phase."""
+        return self.cfg.final_epochs > 0 and epoch >= self.cfg.epochs - self.cfg.final_epochs
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         t0 = time.perf_counter()
         images = 0
+        final_phase = self._in_final_phase(epoch)
+        step_fn = self._train_step
+        if final_phase and self._loss_fn_final is not None:
+            if self._train_step_final is None:
+                self._train_step_final = self._wrap_train_step(self._loss_fn_final)
+            step_fn = self._train_step_final
         collected = []  # device arrays; fetched once at epoch end (no per-step sync)
         for bi, batch in enumerate(self.train_loader):
             images += batch["img"].shape[0]
             batch = self._place(batch)
-            if self._augment is not None:
+            if self._augment is not None and not final_phase:
                 key = jax.random.fold_in(self._aug_key, epoch * 100003 + bi)
                 batch = self._augment(batch, key)
-            self.state, metrics = self._train_step(self.state, batch)
+            self.state, metrics = step_fn(self.state, batch)
             collected.append(metrics)
         out: Dict[str, float] = {}
         if collected:
@@ -218,10 +260,16 @@ class Trainer:
             )
             for k, v in metrics.items():
                 loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
-            all_preds.extend(detections_to_lists(boxes, scores, labels, valid))
-            all_targets.extend(
-                targets_to_lists(batch["gt_labels"], batch["gt_bboxes"], batch["gt_mask"])
+            preds = detections_to_lists(boxes, scores, labels, valid)
+            targets = targets_to_lists(
+                batch["gt_labels"], batch["gt_bboxes"], batch["gt_mask"]
             )
+            # score each val image exactly once: drop the loader's wrap-padding
+            # duplicates on the final short batch (reference evaluates every
+            # image once, train_yolo11_cuda.py:101-262)
+            sv = np.asarray(batch.get("sample_valid", np.ones(len(preds), bool)))
+            all_preds.extend(p for p, ok in zip(preds, sv) if ok)
+            all_targets.extend(t for t, ok in zip(targets, sv) if ok)
             n += 1
         out = {k: v / max(n, 1) for k, v in loss_sums.items()}
         out.update(
@@ -237,6 +285,10 @@ class Trainer:
         history = []
         for epoch in range(self.start_epoch, self.cfg.epochs):
             lr = float(self.schedule(epoch * max(len(self.train_loader), 1)))
+            if self._in_final_phase(epoch) and not self._in_final_phase(epoch - 1):
+                extra = " + L1 loss on" if self._loss_fn_final is not None else ""
+                print(f"--> final phase: augmentation off{extra} "
+                      f"(last {self.cfg.final_epochs} epochs)")
             train_metrics = self.train_epoch(epoch)
             val_metrics = self.validate()
 

@@ -86,10 +86,12 @@ def main(argv=None):
             break
         metrics, (boxes, scores, labels, valid) = step(state, batch)
         losses.append(float(metrics["loss"]))
-        all_preds.extend(detections_to_lists(boxes, scores, labels, valid))
-        all_targets.extend(
-            targets_to_lists(batch["gt_labels"], batch["gt_bboxes"], batch["gt_mask"])
-        )
+        preds = detections_to_lists(boxes, scores, labels, valid)
+        targets = targets_to_lists(batch["gt_labels"], batch["gt_bboxes"], batch["gt_mask"])
+        # drop wrap-padding duplicates (score each image exactly once)
+        sv = np.asarray(batch.get("sample_valid", np.ones(len(preds), bool)))
+        all_preds.extend(pr for pr, ok in zip(preds, sv) if ok)
+        all_targets.extend(t for t, ok in zip(targets, sv) if ok)
 
     out = {"loss": float(np.mean(losses)) if losses else float("nan")}
     out.update(evaluate_detections(all_preds, all_targets, conf_threshold=args.conf))
