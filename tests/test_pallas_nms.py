@@ -88,3 +88,67 @@ def test_pallas_nms_max_det():
     keep = np.asarray(nms_pallas(boxes, scores, max_det=7, interpret=True))
     assert keep.sum() == 7
     assert keep[:7].all()
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_pallas_class_aware_matches_xla(seed):
+    """Class-aware agreement: per-class offset applied before the sweep."""
+    import jax
+
+    from yolo_scratch_tpu.ops.nms import nms
+    from yolo_scratch_tpu.ops.pallas_nms import nms_pallas, nms_pallas_batched
+
+    rng = np.random.RandomState(seed)
+    B, n = 2, 80
+    c = rng.rand(B, n, 2).astype(np.float32) * 48  # dense -> plenty of overlap
+    wh = rng.rand(B, n, 2).astype(np.float32) * 30 + 5
+    boxes = np.concatenate([c - wh / 2, c + wh / 2], -1)
+    scores = rng.rand(B, n).astype(np.float32)
+    valid = scores > 0.1
+    labels = rng.randint(0, 4, (B, n)).astype(np.int32)
+
+    ref = np.asarray(
+        jax.vmap(
+            lambda b, s, v, l: nms(b, s, iou_threshold=0.5, max_det=30, valid=v,
+                                   class_ids=l, class_aware=True)
+        )(boxes, scores, valid, labels)
+    )
+    ours = np.asarray(
+        nms_pallas_batched(boxes, scores, valid, iou_threshold=0.5, max_det=30,
+                           interpret=True, class_ids=labels, class_aware=True)
+    )
+    np.testing.assert_array_equal(ours, ref)
+    # class-aware must differ from agnostic on overlapping cross-class boxes
+    agnostic = np.asarray(
+        nms_pallas_batched(boxes, scores, valid, iou_threshold=0.5, max_det=30,
+                           interpret=True)
+    )
+    assert (ours != agnostic).any()
+
+    # single-image wrapper
+    ref1 = np.asarray(nms(boxes[0], scores[0], iou_threshold=0.5, max_det=30,
+                          valid=valid[0], class_ids=labels[0], class_aware=True))
+    ours1 = np.asarray(
+        nms_pallas(boxes[0], scores[0], iou_threshold=0.5, max_det=30, valid=valid[0],
+                   interpret=True, class_ids=labels[0], class_aware=True)
+    )
+    np.testing.assert_array_equal(ours1, ref1)
+
+
+def test_postprocess_class_aware_pallas_matches_xla():
+    from yolo_scratch_tpu.ops.decode import postprocess
+
+    rng = np.random.RandomState(7)
+    B, A, nc = 2, 120, 5
+    pred = np.zeros((B, A, 4 + nc), np.float32)
+    pred[..., 0:2] = rng.rand(B, A, 2) * 64
+    pred[..., 2:4] = rng.rand(B, A, 2) * 20 + 2
+    pred[..., 4:] = rng.rand(B, A, nc).astype(np.float32)
+
+    for batch in (pred, pred[:1]):  # batched kernel and B=1 transposed kernel
+        a = postprocess(batch, img_size=64, conf_threshold=0.25, max_det=20,
+                        pre_nms_topk=64, class_aware=True, nms_impl="xla")
+        b = postprocess(batch, img_size=64, conf_threshold=0.25, max_det=20,
+                        pre_nms_topk=64, class_aware=True, nms_impl="pallas")
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

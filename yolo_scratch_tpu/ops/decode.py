@@ -56,26 +56,33 @@ def postprocess(
     """Batched postprocess. Returns (boxes (B, max_det, 4) normalized xyxy,
     scores (B, max_det), labels (B, max_det), valid (B, max_det)).
 
-    ``nms_impl``: 'pallas' (class-agnostic; whole batch suppressed in one
-    VMEM kernel — measured 1.57 ms vs 2.32 ms XLA at B=32/N=512, and the
-    single-image transposed kernel is the tracked 0.95 ms NMS-p50 path) or
-    'xla' (default; also the class-aware path)."""
+    ``nms_impl``: 'pallas' (whole batch suppressed in one VMEM kernel —
+    measured 1.57 ms vs 2.32 ms XLA at B=32/N=512, and the single-image
+    transposed kernel is the tracked 0.95 ms NMS-p50 path) or 'xla'
+    (default). Both support ``class_aware`` — the per-class box-offset is
+    applied before the sweep, so the kernel itself stays class-agnostic."""
     boxes, scores, labels, valid = jax.vmap(
         partial(_prefilter_single, conf_threshold=conf_threshold, pre_nms_topk=pre_nms_topk)
     )(decoded)
 
-    if nms_impl == "pallas" and not class_aware:
-        from yolo_scratch_tpu.ops.pallas_nms import nms_pallas_batched, nms_sweep_pallas
+    if nms_impl == "pallas":
+        from yolo_scratch_tpu.ops.pallas_nms import (
+            _class_offset,
+            nms_pallas_batched,
+            nms_sweep_pallas,
+        )
 
         if boxes.shape[0] == 1:
             # B=1: the transposed single-image kernel has the lowest latency;
             # candidates are already score-sorted from top_k.
-            keep = nms_sweep_pallas(boxes[0], valid[0], iou_threshold)[None]
+            nms_boxes = _class_offset(boxes, labels) if class_aware else boxes
+            keep = nms_sweep_pallas(nms_boxes[0], valid[0], iou_threshold)[None]
             rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
             keep = keep & (rank < max_det)
         else:
             keep = nms_pallas_batched(
-                boxes, scores, valid, iou_threshold=iou_threshold, max_det=max_det
+                boxes, scores, valid, iou_threshold=iou_threshold, max_det=max_det,
+                class_ids=labels, class_aware=class_aware,
             )
     else:
         keep = jax.vmap(

@@ -167,6 +167,14 @@ def nms_sweep_pallas_batched(
     return out[:, :n0] > 0.5
 
 
+def _class_offset(boxes: jnp.ndarray, class_ids: jnp.ndarray) -> jnp.ndarray:
+    """Standard per-class box-offset trick (same as ``ops.nms.nms``): shift
+    each class into a disjoint coordinate range so cross-class IoU is zero.
+    Pure elementwise XLA — the Pallas sweep itself stays class-agnostic."""
+    span = jnp.max(jnp.abs(boxes)) + 1.0
+    return boxes + (class_ids.astype(boxes.dtype) * span * 2.0)[..., None]
+
+
 def nms_pallas_batched(
     boxes: jnp.ndarray,  # (B, N, 4)
     scores: jnp.ndarray,  # (B, N)
@@ -174,8 +182,12 @@ def nms_pallas_batched(
     iou_threshold: float = 0.45,
     max_det: int = 300,
     interpret: bool | None = None,
+    class_ids: jnp.ndarray | None = None,
+    class_aware: bool = False,
 ):
-    """Batched drop-in for vmapped ``ops.nms.nms`` (class-agnostic)."""
+    """Batched drop-in for vmapped ``ops.nms.nms``."""
+    if class_aware and class_ids is not None:
+        boxes = _class_offset(boxes, class_ids)
     order = jnp.argsort(-scores, axis=1)
     boxes_s = jnp.take_along_axis(boxes, order[..., None], axis=1)
     valid_s = jnp.take_along_axis(valid, order, axis=1)
@@ -193,12 +205,16 @@ def nms_pallas(
     max_det: int = 300,
     valid: jnp.ndarray | None = None,
     interpret: bool | None = None,
+    class_ids: jnp.ndarray | None = None,
+    class_aware: bool = False,
 ):
     """Drop-in for ``ops.nms.nms`` backed by the Pallas sweep."""
     boxes = jnp.asarray(boxes)
     scores = jnp.asarray(scores)
     n = boxes.shape[0]
     valid = jnp.ones((n,), bool) if valid is None else jnp.asarray(valid)
+    if class_aware and class_ids is not None:
+        boxes = _class_offset(boxes, class_ids)
 
     order = jnp.argsort(-scores)
     keep_s = nms_sweep_pallas(boxes[order], valid[order], iou_threshold, interpret=interpret)
