@@ -94,7 +94,7 @@ def make_sharded_train_step(model, loss_cfg, mesh: Mesh, donate: bool = True, ax
 
 def make_ddp_train_step(model, loss_fn, mesh: Mesh, axis: str = "dp",
                         sync_bn_stats: bool = True, compute_dtype=None,
-                        donate: bool = True):
+                        donate: bool = True, remat: bool = False):
     """DDP-semantics train step via ``shard_map``: each replica computes the
     loss/gradients on its LOCAL shard (BatchNorm normalizes over the local
     batch — the reference's per-replica BN semantics, SURVEY §5.8), then
@@ -116,16 +116,21 @@ def make_ddp_train_step(model, loss_fn, mesh: Mesh, axis: str = "dp",
     except ImportError:  # pragma: no cover
         from jax.experimental.shard_map import shard_map
 
+    def forward(p, bs, img):
+        return model.apply(
+            {"params": p, "batch_stats": bs}, img, train=True, mutable=["batch_stats"]
+        )
+
+    # activation recompute in the backward pass (same as steps.py's remat)
+    fwd = jax.checkpoint(forward) if remat else forward
+
     def local_step(state, batch):
         def wrapped(params):
             p = params
             if compute_dtype is not None:
                 p = jax.tree_util.tree_map(lambda x: x.astype(compute_dtype), params)
             img = batch["img"].astype(compute_dtype) if compute_dtype is not None else batch["img"]
-            feats, mutated = model.apply(
-                {"params": p, "batch_stats": state.batch_stats}, img,
-                train=True, mutable=["batch_stats"],
-            )
+            feats, mutated = fwd(p, state.batch_stats, img)
             if compute_dtype is not None:
                 feats = jax.tree_util.tree_map(lambda f: f.astype(jnp.float32), feats)
             total, metrics = loss_fn(feats, batch)

@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device-side augmentation (hflip + color jitter)")
     p.add_argument("--mosaic", type=float, default=0.0,
                    help="mosaic probability (implies --augment)")
+    p.add_argument("--final-epochs", type=int, default=0,
+                   help="last-N-epochs no-aug phase (YOLOX recipe: mosaic off"
+                        " + L1 loss on; paper uses 15)")
     p.add_argument("--seed", type=int, default=42)
     return p
 
@@ -162,6 +165,7 @@ def main(argv=None):
         mixed_precision=args.bf16,
         remat=args.remat,
         bn_mode=args.bn_mode,
+        final_epochs=args.final_epochs,
     )
     trainer = Trainer(model, train_loader, val_loader, cfg, mesh=mesh, seed=args.seed,
                       model_kind=args.model)
