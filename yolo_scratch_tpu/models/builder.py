@@ -102,6 +102,21 @@ def parse_model_config(
         in_ch = ch_list[f_idx] if isinstance(f_idx, int) else [ch_list[x] for x in f_idx]
         in_stride = stride_list[f_idx] if isinstance(f_idx, int) else stride_list[f_idx[0]]
 
+        def _take(rest, spec, row_kind):
+            """Map positional YAML args to named kwargs per ``spec``
+            [(name, default), ...]; reject extras loudly (the reference's
+            ``eval``-based parser forwards everything positionally, so a row
+            it accepts must either work here or fail with a clear error)."""
+            if len(rest) > len(spec):
+                raise ValueError(
+                    f"{row_kind} row {i}: {len(rest)} extra args {rest!r}, "
+                    f"supported: {[s[0] for s in spec]}"
+                )
+            out = {nm: default for nm, default in spec}
+            for (nm, _), val in zip(spec, rest):
+                out[nm] = val
+            return out
+
         kwargs: Dict[str, Any] = {}
         out_stride = in_stride
         if kind in _CHANNEL_KINDS:
@@ -110,37 +125,51 @@ def parse_model_config(
                 c2 = make_divisible(c2 * gw, 8)
             rest = args[1:]
             if kind == "conv":
-                k = rest[0] if len(rest) > 0 else 1
-                s = rest[1] if len(rest) > 1 else 1
-                kwargs = {"c2": c2, "k": k, "s": s}
-                out_stride = in_stride * s
+                # reference Conv(c1, c2, k=1, s=1, p=None, g=1, d=1)
+                kwargs = {"c2": c2, **_take(rest, [("k", 1), ("s", 1), ("p", None),
+                                                   ("g", 1), ("d", 1)], "Conv")}
+                out_stride = in_stride * kwargs["s"]
             elif kind == "bottleneck":
-                kwargs = {"c2": c2}
-                if rest:
-                    kwargs["shortcut"] = rest[0]
+                # reference Bottleneck(c1, c2, shortcut=True, g=1, k=(3,3), e=0.5)
+                kwargs = {"c2": c2, **_take(rest, [("shortcut", True), ("g", 1),
+                                                   ("k", (3, 3)), ("e", 0.5)], "Bottleneck")}
+                kwargs["k"] = tuple(kwargs["k"]) if isinstance(kwargs["k"], (list, tuple)) else (kwargs["k"], kwargs["k"])
             elif kind == "sppf":
-                kwargs = {"c2": c2, "k": rest[0] if rest else 5}
+                kwargs = {"c2": c2, **_take(rest, [("k", 5)], "SPPF")}
             elif kind == "c2f":
-                kwargs = {"c2": c2, "n": n}
-                if rest:
-                    kwargs["shortcut"] = rest[0]
+                # reference C2f(c1, c2, n, shortcut=False, g=1, e=0.5)
+                kwargs = {"c2": c2, "n": n,
+                          **_take(rest, [("shortcut", False), ("g", 1), ("e", 0.5)], "C2f")}
                 n = 1
             elif kind == "c3k2":
-                kwargs = {"c2": c2, "n": n}
-                if len(rest) > 0:
-                    kwargs["c3k"] = rest[0]
-                if len(rest) > 1:
-                    kwargs["e"] = rest[1]
+                # reference C3k2(c1, c2, n, c3k=False, e=0.5, g=1, shortcut=True)
+                kwargs = {"c2": c2, "n": n,
+                          **_take(rest, [("c3k", False), ("e", 0.5), ("g", 1),
+                                         ("shortcut", True)], "C3k2")}
                 n = 1
             elif kind == "c2psa":
-                kwargs = {"c2": c2, "n": n}
+                # reference C2PSA(c1, c2, n, e=0.5)
+                kwargs = {"c2": c2, "n": n, **_take(rest, [("e", 0.5)], "C2PSA")}
                 n = 1
             out_ch = c2
         elif kind == "upsample":
+            # reference rows: [None, 2, 'nearest'] -> nn.Upsample(size,
+            # scale_factor, mode). Only 2x nearest is compiled; reject the
+            # rest loudly instead of silently upsampling wrong.
+            up = _take(args, [("size", None), ("scale", 2), ("mode", "nearest")], "Upsample")
+            if up["size"] is not None or int(up["scale"]) != 2 or up["mode"] != "nearest":
+                raise ValueError(
+                    f"Upsample row {i}: only scale_factor=2 mode='nearest' is "
+                    f"supported, got {args!r}"
+                )
             out_ch = in_ch
             out_stride = in_stride / 2.0
             kwargs = {}
         elif kind == "concat":
+            # reference Concat(dimension=1) == NCHW channels == NHWC axis -1
+            cat = _take(args, [("dim", 1)], "Concat")
+            if int(cat["dim"]) != 1:
+                raise ValueError(f"Concat row {i}: only channel concat (dim=1) supported, got {args!r}")
             out_ch = sum(in_ch)
             out_stride = in_stride
             kwargs = {}
@@ -239,19 +268,29 @@ class YOLOModel(nn.Module):
 
             name = f"model_{i}"
             if kind == "conv":
-                out = M.ConvBNAct(c2=kw["c2"], k=kw["k"], s=kw["s"], name=name)(inp, train)
+                out = M.ConvBNAct(
+                    c2=kw["c2"], k=kw["k"], s=kw["s"], p=kw.get("p"), g=kw.get("g", 1),
+                    d=kw.get("d", 1), name=name,
+                )(inp, train)
             elif kind == "bottleneck":
-                out = M.Bottleneck(c2=kw["c2"], shortcut=kw.get("shortcut", True), name=name)(inp, train)
+                out = M.Bottleneck(
+                    c2=kw["c2"], shortcut=kw.get("shortcut", True), g=kw.get("g", 1),
+                    k=tuple(kw.get("k", (3, 3))), e=kw.get("e", 0.5), name=name,
+                )(inp, train)
             elif kind == "c2f":
-                out = M.C2f(c2=kw["c2"], n=kw["n"], shortcut=kw.get("shortcut", False), name=name)(inp, train)
+                out = M.C2f(
+                    c2=kw["c2"], n=kw["n"], shortcut=kw.get("shortcut", False),
+                    g=kw.get("g", 1), e=kw.get("e", 0.5), name=name,
+                )(inp, train)
             elif kind == "c3k2":
                 out = M.C3k2(
-                    c2=kw["c2"], n=kw["n"], c3k=kw.get("c3k", False), e=kw.get("e", 0.5), name=name
+                    c2=kw["c2"], n=kw["n"], c3k=kw.get("c3k", False), e=kw.get("e", 0.5),
+                    g=kw.get("g", 1), shortcut=kw.get("shortcut", True), name=name,
                 )(inp, train)
             elif kind == "sppf":
                 out = M.SPPF(c2=kw["c2"], k=kw.get("k", 5), name=name)(inp, train)
             elif kind == "c2psa":
-                out = M.C2PSA(c2=kw["c2"], n=kw["n"], name=name)(inp, train)
+                out = M.C2PSA(c2=kw["c2"], n=kw["n"], e=kw.get("e", 0.5), name=name)(inp, train)
             elif kind == "upsample":
                 out = M.upsample2x(inp)
             elif kind == "concat":
