@@ -110,13 +110,20 @@ def make_train_step(model, loss_cfg: DetectionLossConfig, donate: bool = True):
 
 def make_eval_step(model, loss_cfg: DetectionLossConfig = None, conf_threshold: float = 0.25,
                    iou_threshold: float = 0.45, max_det: int = 300, pre_nms_topk: int = 1000,
-                   use_ema: bool = False, loss_fn=None, decode_fn=None):
+                   use_ema: bool = False, loss_fn=None, decode_fn=None,
+                   match_thresholds=None):
     """Returns jitted ``eval_step(state, batch) -> (metrics, detections)``.
 
     Detections are fixed-shape (B, max_det, 6) rows of
     [x1, y1, x2, y2, score, label] in normalized coords + a validity mask —
     the on-device equivalent of ``decode_predictions_for_metrics`` + NMS
     (``train_yolo11_cuda.py:265-399``).
+
+    ``match_thresholds``: optional IoU-threshold tuple; when set, the step
+    also computes greedy TP marks against the batch GT on device
+    (``ops.matching``) and returns ``(metrics, detections, tp_marks)`` with
+    tp_marks (B, T, max_det) bool — the host then only accumulates AP
+    (``utils.metrics.metrics_from_marks``).
     """
     from yolo_scratch_tpu.ops.decode import postprocess
 
@@ -142,6 +149,15 @@ def make_eval_step(model, loss_cfg: DetectionLossConfig = None, conf_threshold: 
             pre_nms_topk=pre_nms_topk,
         )
         metrics = {"loss": total, **items}
+        if match_thresholds is not None:
+            from yolo_scratch_tpu.ops.matching import batched_tp_marks
+
+            # boxes are normalized xyxy (postprocess) — same space as GT
+            marks = batched_tp_marks(
+                boxes, valid, batch["gt_bboxes"], batch["gt_mask"],
+                thresholds=tuple(match_thresholds),
+            )
+            return metrics, (boxes, scores, labels, valid), marks
         return metrics, (boxes, scores, labels, valid)
 
     return jax.jit(step)

@@ -57,6 +57,10 @@ class TrainerConfig:
     # mosaic/strong aug OFF; for YOLOX the L1 reg loss also turns ON).
     # 0 disables the phase.
     final_epochs: int = 0
+    # TP/FP matching on device inside the jitted eval step (ops.matching);
+    # host keeps only AP accumulation. False falls back to the numpy
+    # greedy matcher (utils.metrics.evaluate_detections).
+    device_matching: bool = True
 
 
 class Trainer:
@@ -165,6 +169,12 @@ class Trainer:
 
     def _finish_init(self, seed: int):
         config = self.cfg
+        if config.device_matching:
+            from yolo_scratch_tpu.ops.matching import DEFAULT_THRESHOLDS
+
+            self._match_thresholds = DEFAULT_THRESHOLDS
+        else:
+            self._match_thresholds = None
         self._eval_step = make_eval_step(
             self.model,
             self.loss_cfg,
@@ -175,6 +185,7 @@ class Trainer:
             use_ema=config.eval_with_ema,
             loss_fn=self._loss_fn,
             decode_fn=self._decode_fn,
+            match_thresholds=self._match_thresholds,
         )
 
         self._aug_key = jax.random.PRNGKey(seed + 1)
@@ -251,32 +262,52 @@ class Trainer:
             return {}
         loss_sums: Dict[str, float] = {}
         n = 0
-        all_preds, all_targets = [], []
+        all_preds, all_targets = [], []        # host-matching path
+        all_marks, all_scores, all_valid = [], [], []  # device-matching path
+        n_gt = 0
         for batch in self.val_loader:
             if self.cfg.max_val_batches is not None and n >= self.cfg.max_val_batches:
                 break
-            metrics, (boxes, scores, labels, valid) = self._eval_step(
-                self.state, self._place(batch)
-            )
+            out_step = self._eval_step(self.state, self._place(batch))
+            metrics, (boxes, scores, labels, valid) = out_step[0], out_step[1]
             for k, v in metrics.items():
                 loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
-            preds = detections_to_lists(boxes, scores, labels, valid)
-            targets = targets_to_lists(
-                batch["gt_labels"], batch["gt_bboxes"], batch["gt_mask"]
-            )
             # score each val image exactly once: drop the loader's wrap-padding
             # duplicates on the final short batch (reference evaluates every
             # image once, train_yolo11_cuda.py:101-262)
-            sv = np.asarray(batch.get("sample_valid", np.ones(len(preds), bool)))
-            all_preds.extend(p for p, ok in zip(preds, sv) if ok)
-            all_targets.extend(t for t, ok in zip(targets, sv) if ok)
+            B = batch["img"].shape[0]
+            sv = np.asarray(batch.get("sample_valid", np.ones(B, bool)))
+            if self._match_thresholds is not None:
+                marks = np.asarray(out_step[2])
+                all_marks.append(marks[sv])
+                all_scores.append(np.asarray(scores)[sv])
+                all_valid.append(np.asarray(valid)[sv])
+                n_gt += int(np.asarray(batch["gt_mask"])[sv].sum())
+            else:
+                preds = detections_to_lists(boxes, scores, labels, valid)
+                targets = targets_to_lists(
+                    batch["gt_labels"], batch["gt_bboxes"], batch["gt_mask"]
+                )
+                all_preds.extend(p for p, ok in zip(preds, sv) if ok)
+                all_targets.extend(t for t, ok in zip(targets, sv) if ok)
             n += 1
         out = {k: v / max(n, 1) for k, v in loss_sums.items()}
-        out.update(
-            evaluate_detections(
-                all_preds, all_targets, conf_threshold=self.cfg.val_conf, iou_threshold=0.5
+        if self._match_thresholds is not None:
+            from yolo_scratch_tpu.utils.metrics import metrics_from_marks
+
+            if all_marks:
+                out.update(metrics_from_marks(
+                    np.concatenate(all_marks), np.concatenate(all_scores),
+                    np.concatenate(all_valid), n_gt,
+                ))
+            else:
+                out.update({"precision": 0.0, "recall": 0.0, "mAP50": 0.0, "mAP50-95": 0.0})
+        else:
+            out.update(
+                evaluate_detections(
+                    all_preds, all_targets, conf_threshold=self.cfg.val_conf, iou_threshold=0.5
+                )
             )
-        )
         return out
 
     def fit(self, resume: bool = True) -> Dict[str, Any]:

@@ -11,10 +11,14 @@ Parity targets (reference ``utils/metrics.py``):
   * ``evaluate_cda_full``    (``:623-846``) — official CDAquality scorer
     (chi^2 accept, credit 1 - dGA/pi, top-10 cap).
 
-Inputs are plain numpy (the host-side reduction tail); per-image IoU
-matrices are vectorized, and the greedy loops run over at most a few
-hundred detections. The hot batched TP/FP marking for on-device eval lives
-in the jitted eval step; these functions are the final reduction.
+Two evaluation paths exist:
+
+* ``evaluate_detections`` — pure-numpy host path over per-image dicts
+  (general API; the greedy match loop runs on host, fine at crater scale).
+* ``ops.matching.batched_tp_marks`` (device, inside the jitted eval step)
+  + ``metrics_from_marks`` (host AP accumulation only) — the TPU-first
+  path ``Trainer.validate`` uses; at COCO-val scale the per-image,
+  per-threshold matching loops stay on device.
 """
 
 from __future__ import annotations
@@ -151,6 +155,57 @@ def evaluate_detections(
         "recall": float(recall),
         "mAP50": float(ap_scores[0]) if ap_scores else 0.0,
         "mAP50-95": float(np.mean(ap_scores)) if ap_scores else 0.0,
+    }
+
+
+def metrics_from_marks(
+    tp_marks: np.ndarray,  # (B, T, N) bool — ops.matching.batched_tp_marks
+    scores: np.ndarray,    # (B, N)
+    valid: np.ndarray,     # (B, N) bool
+    n_gt: int,
+) -> Dict[str, float]:
+    """Host AP/P/R accumulation from on-device greedy TP marks.
+
+    Same math as ``evaluate_detections``'s tail: one global score-descending
+    sort, per-threshold cumsum -> envelope AP; P/R from the 0.5-threshold
+    marks. (On exact score ties the global sort may order tp/fp differently
+    than ``calculate_ap``'s tp-before-fp concatenation — measure zero for
+    continuous scores.) Thresholds follow ``ops.matching.DEFAULT_THRESHOLDS``
+    with index 0 == IoU 0.5.
+    """
+    tp_marks = np.asarray(tp_marks)
+    scores = np.asarray(scores, np.float32)
+    valid = np.asarray(valid, bool)
+    _, T, _ = tp_marks.shape
+    flat_scores = scores[valid]                    # (K,)
+    flat_tp = tp_marks.transpose(0, 2, 1)[valid]   # (K, T)
+    if flat_scores.size == 0 or n_gt == 0:
+        return {"precision": 0.0, "recall": 0.0, "mAP50": 0.0, "mAP50-95": 0.0}
+
+    order = np.argsort(-flat_scores, kind="stable")
+    flags = flat_tp[order]                         # (K, T)
+    tp_cum = np.cumsum(flags, axis=0, dtype=np.float64)
+    fp_cum = np.cumsum(~flags, axis=0, dtype=np.float64)
+    precisions = tp_cum / (tp_cum + fp_cum + 1e-6)
+    recalls = tp_cum / n_gt
+
+    aps = []
+    for ti in range(T):
+        mrec = np.concatenate([[0.0], recalls[:, ti], [1.0]])
+        mpre = np.concatenate([[0.0], precisions[:, ti], [0.0]])
+        mpre = np.maximum.accumulate(mpre[::-1])[::-1]
+        idx = np.flatnonzero(mrec[1:] != mrec[:-1])
+        aps.append(float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1])))
+
+    n_tp = int(flags[:, 0].sum())
+    n_fp = int(flags.shape[0] - n_tp)
+    precision = n_tp / (n_tp + n_fp) if (n_tp + n_fp) > 0 else 0.0
+    recall = n_tp / n_gt if n_gt > 0 else 0.0
+    return {
+        "precision": float(precision),
+        "recall": float(recall),
+        "mAP50": aps[0] if aps else 0.0,
+        "mAP50-95": float(np.mean(aps)) if aps else 0.0,
     }
 
 
