@@ -55,15 +55,40 @@ def make_mesh(
     return Mesh(np.array(devs[:n]), axis_names=axis_names)
 
 
+def _spans_processes(mesh: Mesh) -> bool:
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "dp") -> Dict[str, Any]:
-    """Place a host batch with its leading dim sharded over the mesh."""
+    """Place a host batch with its leading dim sharded over the mesh.
+
+    On a multi-process mesh, ``batch`` is this process's LOCAL shard: the
+    global array is assembled from per-process data
+    (``jax.make_array_from_process_local_data`` — per-host input sharding,
+    SURVEY §5.8); the global batch dim is local_B x process_count.
+    """
     sharding = NamedSharding(mesh, P(axis))
+    if _spans_processes(mesh):
+        return {
+            k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+            for k, v in batch.items()
+        }
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Fully replicate a pytree (params/state) over the mesh."""
+    """Fully replicate a pytree (params/state) over the mesh.
+
+    On a multi-process mesh each process must hold the same host values
+    (e.g. same-seed init); the global replicated arrays are assembled via
+    ``make_array_from_process_local_data`` with a replicated spec.
+    """
     sharding = NamedSharding(mesh, P())
+    if _spans_processes(mesh):
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+            tree,
+        )
     return jax.device_put(tree, sharding)
 
 

@@ -60,6 +60,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device-side augmentation (hflip + color jitter)")
     p.add_argument("--mosaic", type=float, default=0.0,
                    help="mosaic probability (implies --augment)")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host pod training: jax.distributed.initialize "
+                        "(auto TPU topology, or --coordinator/--nproc/--pid), "
+                        "global dp mesh over every process's chips, per-process "
+                        "data sharding")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="coordinator address host:port (omit on TPU pods)")
+    p.add_argument("--nproc", type=int, default=None)
+    p.add_argument("--pid", type=int, default=None)
     p.add_argument("--final-epochs", type=int, default=0,
                    help="last-N-epochs no-aug phase (YOLOX recipe: mosaic off"
                         " + L1 loss on; paper uses 15)")
@@ -104,6 +113,15 @@ def main(argv=None):
     from yolo_scratch_tpu.models.builder import build_yolo11
     from yolo_scratch_tpu.train.trainer import Trainer, TrainerConfig
 
+    if args.multihost:
+        import jax as _jax
+
+        from yolo_scratch_tpu.parallel import distributed as D
+
+        D.initialize(args.coordinator, args.nproc, args.pid)
+        print(f"multihost: process {_jax.process_index()}/{_jax.process_count()}, "
+              f"{len(_jax.devices())} global devices")
+
     ds, ch, nc = make_datasets(args)
     n = len(ds)
     # seeded split (reference :494-505 uses torch.randperm(seed=42); same
@@ -111,6 +129,17 @@ def main(argv=None):
     idx = np.random.RandomState(args.seed).permutation(n)
     n_val = int(n * args.val_split)
     train_idx, val_idx = idx[: n - n_val], idx[n - n_val :]
+    if args.multihost:
+        import jax as _jax
+
+        # per-process slice, trimmed so every process steps the same number
+        # of batches (the jitted step is a collective)
+        pid, np_ = _jax.process_index(), _jax.process_count()
+        k_t, k_v = len(train_idx) // np_, len(val_idx) // np_
+        if k_t == 0:
+            raise ValueError(f"{len(train_idx)} train samples < {np_} processes")
+        train_idx = train_idx[pid::np_][:k_t]
+        val_idx = val_idx[pid::np_][:k_v]
     print(f"Train samples: {len(train_idx)}, Val samples: {len(val_idx)}")
 
     ms_sizes = None
@@ -141,7 +170,11 @@ def main(argv=None):
               f"strides={model.strides}")
 
     mesh = None
-    if args.mesh and args.mesh > 1:
+    if args.multihost:
+        from yolo_scratch_tpu.parallel.distributed import make_global_mesh
+
+        mesh = make_global_mesh()
+    elif args.mesh and args.mesh > 1:
         from yolo_scratch_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(args.mesh)

@@ -126,9 +126,11 @@ class Trainer:
                 stacklevel=2,
             )
         loss_fn = self._loss_fn if self._loss_fn is not None else v8_loss_adapter(self.loss_cfg)
+        self._multiprocess = False
         if mesh is not None:
-            from yolo_scratch_tpu.parallel.mesh import replicate
+            from yolo_scratch_tpu.parallel.mesh import _spans_processes, replicate
 
+            self._multiprocess = _spans_processes(mesh)
             self.state = replicate(self.state, mesh)
         self._train_step = self._wrap_train_step(loss_fn)
         # Final-phase step (different loss -> one extra compile); built lazily
@@ -169,6 +171,11 @@ class Trainer:
 
     def _finish_init(self, seed: int):
         config = self.cfg
+        if self._multiprocess and not config.device_matching:
+            raise ValueError(
+                "multi-process meshes require device_matching=True (host-side "
+                "greedy matching cannot see other processes' targets)"
+            )
         if config.device_matching:
             from yolo_scratch_tpu.ops.matching import DEFAULT_THRESHOLDS
 
@@ -265,10 +272,19 @@ class Trainer:
         all_preds, all_targets = [], []        # host-matching path
         all_marks, all_scores, all_valid = [], [], []  # device-matching path
         n_gt = 0
+        if self._multiprocess:
+            # detections/marks come back dp-sharded across processes; gather
+            # them to full global arrays on every host (DCN allgather)
+            from jax.experimental import multihost_utils as _mh
+
+            fetch = lambda x: np.asarray(_mh.process_allgather(x, tiled=True))
+        else:
+            fetch = np.asarray
         for batch in self.val_loader:
             if self.cfg.max_val_batches is not None and n >= self.cfg.max_val_batches:
                 break
-            out_step = self._eval_step(self.state, self._place(batch))
+            placed = self._place(batch)
+            out_step = self._eval_step(self.state, placed)
             metrics, (boxes, scores, labels, valid) = out_step[0], out_step[1]
             for k, v in metrics.items():
                 loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
@@ -276,14 +292,23 @@ class Trainer:
             # duplicates on the final short batch (reference evaluates every
             # image once, train_yolo11_cuda.py:101-262)
             B = batch["img"].shape[0]
-            sv = np.asarray(batch.get("sample_valid", np.ones(B, bool)))
-            if self._match_thresholds is not None:
-                marks = np.asarray(out_step[2])
-                all_marks.append(marks[sv])
-                all_scores.append(np.asarray(scores)[sv])
-                all_valid.append(np.asarray(valid)[sv])
-                n_gt += int(np.asarray(batch["gt_mask"])[sv].sum())
+            if self._multiprocess:
+                # global row-validity travels with the sharded batch
+                sv = fetch(placed["sample_valid"]).astype(bool)
+                gt_mask_host = fetch(placed["gt_mask"])
             else:
+                sv = np.asarray(batch.get("sample_valid", np.ones(B, bool)))
+                gt_mask_host = np.asarray(batch["gt_mask"])
+            if self._match_thresholds is not None:
+                marks = fetch(out_step[2])
+                all_marks.append(marks[sv])
+                all_scores.append(fetch(scores)[sv])
+                all_valid.append(fetch(valid)[sv])
+                n_gt += int(gt_mask_host[sv].sum())
+            else:
+                boxes, scores, labels, valid = (
+                    fetch(boxes), fetch(scores), fetch(labels), fetch(valid)
+                )
                 preds = detections_to_lists(boxes, scores, labels, valid)
                 targets = targets_to_lists(
                     batch["gt_labels"], batch["gt_bboxes"], batch["gt_mask"]
