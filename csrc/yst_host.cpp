@@ -241,10 +241,12 @@ uint8_t* read_file(const char* path, size_t* out_size) {
   return buf;
 }
 
-// One image: decode -> (letterbox|stretch) resize -> f32 [0,1] NHWC slot.
+// One image, u8 end-to-end: decode -> (letterbox|stretch) resize straight
+// into the caller's u8 NHWC slot. No float stage — on a single-core host
+// the u8 pipeline is the throughput bound for streaming inference.
 // Returns 0 ok; fills orig w/h and letterbox transform (scale, px, py).
-int prepare_one(const char* path, int S, int channels, int letterbox, uint8_t pad,
-                float* out, int* ow, int* oh, float* scale, int* px, int* py) {
+int prepare_one_u8(const char* path, int S, int channels, int letterbox, uint8_t pad,
+                   uint8_t* out, int* ow, int* oh, float* scale, int* px, int* py) {
   size_t n;
   uint8_t* bytes = read_file(path, &n);
   if (!bytes) return -1;
@@ -255,8 +257,8 @@ int prepare_one(const char* path, int S, int channels, int letterbox, uint8_t pa
   *ow = w;
   *oh = h;
 
-  std::vector<uint8_t> resized((size_t)S * S * channels, pad);
   if (letterbox) {
+    std::memset(out, pad, (size_t)S * S * channels);
     float r = std::min((float)S / w, (float)S / h);
     int nw = (int)std::lround(w * r), nh = (int)std::lround(h * r);
     nw = std::max(nw, 1);
@@ -265,22 +267,31 @@ int prepare_one(const char* path, int S, int channels, int letterbox, uint8_t pa
     resize_bilinear(img, h, w, channels, tmp.data(), nh, nw);
     int ox = (S - nw) / 2, oy = (S - nh) / 2;
     for (int y = 0; y < nh; ++y)
-      std::memcpy(resized.data() + ((size_t)(y + oy) * S + ox) * channels,
+      std::memcpy(out + ((size_t)(y + oy) * S + ox) * channels,
                   tmp.data() + (size_t)y * nw * channels, (size_t)nw * channels);
     *scale = r;
     *px = ox;
     *py = oy;
   } else {
-    resize_bilinear(img, h, w, channels, resized.data(), S, S);
+    resize_bilinear(img, h, w, channels, out, S, S);
     *scale = 0.f;
     *px = 0;
     *py = 0;
   }
   std::free(img);
+  return 0;
+}
 
-  const float inv = 1.0f / 255.0f;
+// f32 variant: u8 core + one normalization pass into [0,1].
+int prepare_one(const char* path, int S, int channels, int letterbox, uint8_t pad,
+                float* out, int* ow, int* oh, float* scale, int* px, int* py) {
   size_t total = (size_t)S * S * channels;
-  for (size_t i = 0; i < total; ++i) out[i] = resized[i] * inv;
+  std::vector<uint8_t> u8(total);
+  int rc = prepare_one_u8(path, S, channels, letterbox, pad, u8.data(), ow, oh, scale,
+                          px, py);
+  if (rc) return rc;
+  const float inv = 1.0f / 255.0f;
+  for (size_t i = 0; i < total; ++i) out[i] = u8[i] * inv;
   return 0;
 }
 
@@ -330,8 +341,9 @@ void yst_prepare_batch(const char** paths, int n, int S, int channels, int lette
   p.wait();
 }
 
-// uint8 variant: skips normalization — 4x less host->device transfer; the
-// /255 cast runs fused on the accelerator instead.
+// uint8 variant: decode->resize stays u8 end-to-end (no float stage) and
+// the host->device transfer is 4x smaller; the /255 cast runs fused on the
+// accelerator instead.
 void yst_prepare_batch_u8(const char** paths, int n, int S, int channels, int letterbox,
                           uint8_t pad_value, int nthreads, uint8_t* out, float* meta,
                           int32_t* status) {
@@ -341,12 +353,8 @@ void yst_prepare_batch_u8(const char** paths, int n, int S, int channels, int le
     p.submit([=] {
       int w = 0, h = 0, px = 0, py = 0;
       float sc = 0.f;
-      std::vector<float> tmp(slot);
-      status[i] = prepare_one(paths[i], S, channels, letterbox, pad_value, tmp.data(),
-                              &w, &h, &sc, &px, &py);
-      uint8_t* dst = out + slot * i;
-      for (size_t k = 0; k < slot; ++k)
-        dst[k] = (uint8_t)(tmp[k] * 255.0f + 0.5f);
+      status[i] = prepare_one_u8(paths[i], S, channels, letterbox, pad_value,
+                                 out + slot * i, &w, &h, &sc, &px, &py);
       meta[i * 5 + 0] = (float)w;
       meta[i * 5 + 1] = (float)h;
       meta[i * 5 + 2] = sc;
