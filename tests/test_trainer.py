@@ -40,6 +40,10 @@ def test_fit_and_resume(tmp_path):
     assert (run / "last.meta.json").exists()
     meta = json.loads((run / "last.meta.json").read_text())
     assert meta["epoch"] == 1
+    # fit() must await the final async orbax save before returning — a
+    # pending save at interpreter shutdown dies in asyncio's closed default
+    # executor and leaves *.orbax-checkpoint-tmp behind
+    assert not list(run.glob("*.orbax-checkpoint-tmp"))
 
     # resume continues from epoch 2
     trainer2 = _make_trainer(tmp_path, epochs=3)

@@ -336,6 +336,17 @@ class Trainer:
         return out
 
     def fit(self, resume: bool = True) -> Dict[str, Any]:
+        try:
+            return self._fit(resume)
+        finally:
+            # the final async orbax save must land before interpreter
+            # shutdown kills asyncio's default executor (else the save dies
+            # with "cannot schedule new futures after shutdown" and leaves a
+            # last.orbax-checkpoint-tmp behind)
+            if self.ckpt is not None:
+                self.ckpt.wait()
+
+    def _fit(self, resume: bool) -> Dict[str, Any]:
         if resume:
             self.resume()
         history = []
