@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 def main():
     from yolo_scratch_tpu.models.builder import build_yolo11
-    from yolo_scratch_tpu.ops.decode import postprocess
+    from yolo_scratch_tpu.ops.decode import postprocess_from_feats
 
     img, ch, nc = 640, 1, 5
     batch = int(__import__("os").environ.get("BENCH_BATCH", "128"))
@@ -38,13 +38,16 @@ def main():
     @jax.jit
     def infer(variables, x):
         feats = model.apply(variables, x.astype(jnp.bfloat16), train=False)
-        decoded = model.decode([f.astype(jnp.float32) for f in feats])
+        # Fused select-then-decode: DFL integral runs on the 512 selected
+        # candidates only; payload selection is gather-free (einsum).
         # NMS impl crossover: the Pallas batch-in-kernel sweep wins up to
         # ~B=32 (1.57 vs 2.32 ms at N=512); XLA's cross-batch loop wins at
-        # large batch (4625 vs 4538 img/s headline at B=128).
-        return postprocess(decoded, img_size=img, conf_threshold=0.25,
-                           iou_threshold=0.45, max_det=300, pre_nms_topk=512,
-                           nms_impl="pallas" if batch <= 32 else "xla")
+        # large batch.
+        return postprocess_from_feats(
+            [f.astype(jnp.float32) for f in feats],
+            nc=nc, strides=tuple(float(s) for s in model.strides), img_size=img,
+            conf_threshold=0.25, iou_threshold=0.45, max_det=300,
+            pre_nms_topk=512, nms_impl="pallas" if batch <= 32 else "xla")
 
     x = jnp.asarray(np.random.RandomState(0).rand(batch, img, img, ch), jnp.float32)
 

@@ -25,6 +25,9 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parent.parent / ".jax_cache"))
 import jax.numpy as jnp
 
 
@@ -69,12 +72,22 @@ def main():
     }
     x = jnp.asarray(np.random.RandomState(0).rand(B, img, img, ch), jnp.float32)
 
+    # Large outputs must be reduced to scalars INSIDE jit: under the axon
+    # tunnel the honest sync is fetching output bytes, and fetching 100+ MB
+    # of raw feature maps would time the tunnel, not the chip.
     @jax.jit
     def forward(v, x):
-        return model.apply(v, x.astype(jnp.bfloat16), train=False)
+        feats = model.apply(v, x.astype(jnp.bfloat16), train=False)
+        return sum(jnp.sum(f.astype(jnp.float32)) for f in feats)
 
     @jax.jit
     def forward_decode(v, x):
+        feats = model.apply(v, x.astype(jnp.bfloat16), train=False)
+        return jax.tree_util.tree_map(
+            jnp.sum, model.decode([f.astype(jnp.float32) for f in feats]))
+
+    @jax.jit
+    def forward_decode_raw(v, x):
         feats = model.apply(v, x.astype(jnp.bfloat16), train=False)
         return model.decode([f.astype(jnp.float32) for f in feats])
 
@@ -85,9 +98,9 @@ def main():
 
     @jax.jit
     def full(v, x):
-        return _post(forward_decode.__wrapped__(v, x))
+        return _post(forward_decode_raw.__wrapped__(v, x))
 
-    decoded = forward_decode(variables, x)
+    decoded = forward_decode_raw(variables, x)
     decoded = jax.block_until_ready(decoded)
 
     res = {}

@@ -105,3 +105,80 @@ def test_postprocess_parity_full(reference_path):
             np.asarray(boxes[b][:nv]), r["boxes"].numpy()[order], rtol=1e-4, atol=1e-6
         )
         np.testing.assert_array_equal(np.asarray(labels[b][:nv]), r["labels"].numpy()[order])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("iou_t", [0.45, 0.7])
+def test_tiled_nms_matches_sequential(seed, iou_t):
+    """batched_nms_tiled (tile-parallel fixpoint) == batched_nms (N-step
+    greedy sweep), exact keep-set equality, including crowded scenes that
+    exercise suppression chains across tile boundaries."""
+    from yolo_scratch_tpu.ops.nms import batched_nms, batched_nms_tiled
+
+    rng = np.random.RandomState(seed)
+    B, N = 3, 300  # not a multiple of the 128 tile — exercises padding
+    centers = rng.rand(B, N, 2) * 200  # dense: many overlaps, long chains
+    wh = rng.rand(B, N, 2) * 60 + 5
+    boxes = np.concatenate([centers - wh / 2, centers + wh / 2], -1).astype(np.float32)
+    scores = rng.rand(B, N).astype(np.float32)
+    valid = rng.rand(B, N) > 0.1
+
+    ref = np.asarray(batched_nms(boxes, scores, valid, iou_threshold=iou_t, max_det=300))
+    got = np.asarray(batched_nms_tiled(boxes, scores, valid, iou_threshold=iou_t, max_det=300))
+    np.testing.assert_array_equal(got, ref)
+
+    # max_det capping picks the same top-k
+    ref5 = np.asarray(batched_nms(boxes, scores, valid, iou_threshold=iou_t, max_det=5))
+    got5 = np.asarray(batched_nms_tiled(boxes, scores, valid, iou_threshold=iou_t, max_det=5))
+    np.testing.assert_array_equal(got5, ref5)
+
+
+def test_tiled_nms_class_aware():
+    from yolo_scratch_tpu.ops.nms import batched_nms, batched_nms_tiled
+
+    rng = np.random.RandomState(7)
+    B, N = 2, 150
+    centers = rng.rand(B, N, 2) * 100
+    wh = rng.rand(B, N, 2) * 50 + 5
+    boxes = np.concatenate([centers - wh / 2, centers + wh / 2], -1).astype(np.float32)
+    scores = rng.rand(B, N).astype(np.float32)
+    valid = np.ones((B, N), bool)
+    cls = rng.randint(0, 5, (B, N)).astype(np.int32)
+
+    ref = np.asarray(batched_nms(boxes, scores, valid, class_ids=cls,
+                                 iou_threshold=0.45, max_det=300, class_aware=True))
+    got = np.asarray(batched_nms_tiled(boxes, scores, valid, class_ids=cls,
+                                       iou_threshold=0.45, max_det=300, class_aware=True))
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("nms_impl", ["xla", "tiled"])
+def test_postprocess_from_feats_matches_unfused(nms_impl):
+    """Fused select-then-decode == decode-then-select, bit-for-bit: the
+    candidate ranking depends only on class scores, so running the DFL
+    integral on just the selected rows must not change any output."""
+    import jax.numpy as jnp
+
+    from yolo_scratch_tpu.nn.modules import detect_decode
+    from yolo_scratch_tpu.ops.decode import postprocess, postprocess_from_feats
+
+    rng = np.random.RandomState(11)
+    B, nc, reg_max, img = 3, 5, 16, 64
+    strides = (8.0, 16.0, 32.0)
+    no = nc + 4 * reg_max
+    feats = [
+        jnp.asarray(rng.randn(B, img // int(s), img // int(s), no).astype(np.float32) * 2)
+        for s in strides
+    ]
+
+    decoded = detect_decode(feats, nc, strides, reg_max)
+    ref = postprocess(decoded, img_size=img, conf_threshold=0.25, iou_threshold=0.45,
+                      max_det=20, pre_nms_topk=32, nms_impl=nms_impl)
+    got = postprocess_from_feats(
+        feats, nc=nc, strides=strides, img_size=img, reg_max=reg_max,
+        conf_threshold=0.25, iou_threshold=0.45, max_det=20, pre_nms_topk=32,
+        nms_impl=nms_impl)
+
+    for r, g, name in zip(ref, got, ["boxes", "scores", "labels", "valid"]):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=1e-6, atol=1e-7, err_msg=name)

@@ -45,7 +45,7 @@ class Predictor:
 
     def __init__(self, model, variables, config: PredictorConfig = PredictorConfig()):
         from yolo_scratch_tpu.nn.fuse import fuse_conv_bn
-        from yolo_scratch_tpu.ops.decode import postprocess
+        from yolo_scratch_tpu.ops.decode import postprocess_from_feats
 
         self.model = model
         self.cfg = config
@@ -67,9 +67,13 @@ class Predictor:
             if x.dtype == jnp.uint8:
                 xx = xx / 255.0
             feats = model.apply(v, xx, train=False)
-            decoded = model.decode([f.astype(jnp.float32) for f in feats])
-            return postprocess(
-                decoded,
+            # fused select-then-decode (exact; see ops/decode.py) — the DFL
+            # integral runs on pre_nms_topk candidates, not all anchors
+            return postprocess_from_feats(
+                [f.astype(jnp.float32) for f in feats],
+                nc=model.nc,
+                strides=tuple(float(s) for s in model.strides),
+                reg_max=model.reg_max,
                 img_size=cfg.img_size,
                 conf_threshold=cfg.conf_threshold,
                 iou_threshold=cfg.iou_threshold,

@@ -125,10 +125,11 @@ def make_eval_step(model, loss_cfg: DetectionLossConfig = None, conf_threshold: 
     tp_marks (B, T, max_det) bool — the host then only accumulates AP
     (``utils.metrics.metrics_from_marks``).
     """
-    from yolo_scratch_tpu.ops.decode import postprocess
+    from yolo_scratch_tpu.ops.decode import postprocess, postprocess_from_feats
 
     if loss_fn is None:
         loss_fn = v8_loss_adapter(loss_cfg)
+    fused_decode = decode_fn is None  # default v8 Detect layout -> fused path
     if decode_fn is None:
         decode_fn = lambda feats: model.decode(feats)  # (B, A, 4+nc) xywh px + probs
 
@@ -138,16 +139,29 @@ def make_eval_step(model, loss_cfg: DetectionLossConfig = None, conf_threshold: 
             {"params": params, "batch_stats": state.batch_stats}, batch["img"], train=False
         )
         total, items = loss_fn(feats, batch)
-        decoded = decode_fn(feats)
         img_size = batch["img"].shape[1]
-        boxes, scores, labels, valid = postprocess(
-            decoded,
-            img_size=img_size,
-            conf_threshold=conf_threshold,
-            iou_threshold=iou_threshold,
-            max_det=max_det,
-            pre_nms_topk=pre_nms_topk,
-        )
+        if fused_decode:
+            # select-then-decode: exact, DFL integral on pre_nms_topk rows only
+            boxes, scores, labels, valid = postprocess_from_feats(
+                [f.astype(jnp.float32) for f in feats],
+                nc=model.nc,
+                strides=tuple(float(s) for s in model.strides),
+                reg_max=model.reg_max,
+                img_size=img_size,
+                conf_threshold=conf_threshold,
+                iou_threshold=iou_threshold,
+                max_det=max_det,
+                pre_nms_topk=pre_nms_topk,
+            )
+        else:
+            boxes, scores, labels, valid = postprocess(
+                decode_fn(feats),
+                img_size=img_size,
+                conf_threshold=conf_threshold,
+                iou_threshold=iou_threshold,
+                max_det=max_det,
+                pre_nms_topk=pre_nms_topk,
+            )
         metrics = {"loss": total, **items}
         if match_thresholds is not None:
             from yolo_scratch_tpu.ops.matching import batched_tp_marks
