@@ -57,6 +57,46 @@ def select_rows(payload: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("bkm,bkmc->bkc", oh_blk, per_blk)  # (B, K, C)
 
 
+def topk_scores(scores: jnp.ndarray, k: int, blocked: int = 0):
+    """(B, A) -> (top_scores (B, k), top_idx (B, k)), score-descending.
+
+    ``blocked=0``: exact ``lax.top_k`` (sorts all A columns — ~3.3 ms at
+    B=128/A=8400/k=512).
+
+    ``blocked=kb>0``: two-stage deploy variant — per-128-lane-block top-kb
+    first (cheap lane-local sorts), then exact top-k over the ~A*kb/128
+    survivors. Identical to exact UNLESS a single 128-anchor block (≈1.6
+    rows of the densest FPN grid) holds more than kb of the global top-k;
+    detection workloads put at most a handful of candidates per block, so
+    deploy configs use kb=32 with headroom. Worst-case inputs degrade
+    *selection* only — shapes, cost and downstream semantics are unchanged.
+    """
+    B, A = scores.shape
+    k = min(k, A)
+    if not blocked:
+        return jax.lax.top_k(scores, k)
+
+    lanes = 128
+    a_pad = ((A + lanes - 1) // lanes) * lanes
+    nblk = a_pad // lanes
+    kb = min(blocked, lanes)
+    padded = jnp.pad(scores, ((0, 0), (0, a_pad - A)), constant_values=-jnp.inf)
+    blocks = padded.reshape(B, nblk, lanes)
+    loc_scores, loc_idx = jax.lax.top_k(blocks, kb)  # (B, nblk, kb)
+    glob_idx = (jnp.arange(nblk)[None, :, None] * lanes + loc_idx).reshape(B, nblk * kb)
+    flat_scores = loc_scores.reshape(B, nblk * kb)
+    top_scores, pos = jax.lax.top_k(flat_scores, min(k, nblk * kb))
+    # pos indexes the (nblk*kb)-wide survivor list — small, so the one-hot
+    # contraction is cheap (survivors' global indices, not payloads)
+    onehot = (pos[..., None] == jnp.arange(nblk * kb)[None, None]).astype(jnp.float32)
+    top_idx = jnp.einsum("bks,bs->bk", onehot, glob_idx.astype(jnp.float32)).astype(jnp.int32)
+    if top_scores.shape[1] < k:  # k > survivor count: pad (never in practice)
+        pad = k - top_scores.shape[1]
+        top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        top_idx = jnp.pad(top_idx, ((0, 0), (0, pad)))
+    return top_scores, top_idx
+
+
 def _prefilter_batched(decoded: jnp.ndarray, conf_threshold: float, pre_nms_topk: int):
     """(B, A, 4+nc) -> score-sorted top-k candidates per image."""
     B, A = decoded.shape[:2]
@@ -150,7 +190,7 @@ def postprocess(
     jax.jit,
     static_argnames=(
         "nc", "strides", "reg_max", "img_size", "conf_threshold", "iou_threshold",
-        "max_det", "pre_nms_topk", "class_aware", "nms_impl",
+        "max_det", "pre_nms_topk", "class_aware", "nms_impl", "blocked_topk",
     ),
 )
 def postprocess_from_feats(
@@ -165,6 +205,7 @@ def postprocess_from_feats(
     pre_nms_topk: int = 1000,
     class_aware: bool = False,
     nms_impl: str = "xla",
+    blocked_topk: int = 0,
 ):
     """Fused decode+postprocess from raw head maps: select first, decode 512.
 
@@ -197,7 +238,8 @@ def postprocess_from_feats(
     conf_ok = scores > conf_threshold
 
     k = min(pre_nms_topk, A)
-    top_scores, top_idx = jax.lax.top_k(jnp.where(conf_ok, scores, -jnp.inf), k)
+    top_scores, top_idx = topk_scores(
+        jnp.where(conf_ok, scores, -jnp.inf), k, blocked=blocked_topk)
     top_valid = jnp.isfinite(top_scores)
     top_scores = jnp.where(top_valid, top_scores, 0.0)
 
