@@ -58,7 +58,7 @@ def main():
         # exact whenever <=32 of the global top-512 share one block, which
         # real scenes satisfy with large margin; same shapes/cost either way
         return postprocess_from_feats(
-            [f.astype(jnp.float32) for f in feats],
+            feats,  # native bf16 — row selection is dtype-exact; f32 after
             nc=nc, strides=tuple(float(s) for s in model.strides), img_size=img,
             conf_threshold=0.25, iou_threshold=0.45, max_det=300,
             pre_nms_topk=512, nms_impl="pallas" if batch <= 32 else "xla",

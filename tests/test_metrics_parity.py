@@ -149,3 +149,64 @@ def test_per_class_breakdown():
     assert out["b"]["AP50"] == 0.0  # GT exists, no class-1 prediction
     assert out["c"]["AP50"] == 0.0  # prediction exists, no class-2 GT
     assert out["c"]["precision"] == 0.0
+
+
+def test_dga_canonical_relationship():
+    """Independent cross-check of the dGA core (VERDICT r1 weak #6): the
+    canonical L2 Gaussian-angle and the reference's variant must satisfy
+    cos_ref = cos_canonical * prefactor exactly, agree at identical
+    ellipses, and stay monotone in center distance."""
+    import math
+
+    import numpy as np
+
+    from yolo_scratch_tpu.utils.metrics import (
+        _dga_pair,
+        _ellipse_Y,
+        dga_pair_canonical,
+    )
+
+    rng = np.random.RandomState(0)
+    max_div = 0.0
+    for _ in range(300):
+        a1, a2 = rng.rand(2) * 30 + 2
+        b1, b2 = rng.rand(2) * 20 + 1
+        p1, p2 = rng.rand(2) * math.pi
+        c1 = rng.rand(2) * 50
+        c2 = rng.rand(2) * 50
+
+        Y1 = _ellipse_Y(np.array(a1), np.array(b1), np.array(p1))
+        Y2 = _ellipse_Y(np.array(a2), np.array(b2), np.array(p2))
+        ref = _dga_pair(Y1, Y2, c1.reshape(2, 1), c2.reshape(2, 1))
+        canon = dga_pair_canonical(a1, b1, p1, c1, a2, b2, p2, c2)
+
+        # algebraic identity: cos_ref == cos_canon * prefactor
+        def cov(a, b, phi):
+            c, s = math.cos(phi), math.sin(phi)
+            R = np.array([[c, s], [-s, c]])  # same sense as _ellipse_Y
+            return R @ np.diag([a * a, b * b]) @ R.T
+
+        S1, S2 = cov(a1, b1, p1), cov(a2, b2, p2)
+        pref = 2.0 * (np.linalg.det(S1) * np.linalg.det(S2)) ** 0.25 / math.sqrt(
+            np.linalg.det(S1 + S2))
+        lhs = math.cos(ref)
+        rhs = min(1.0, math.cos(canon) * pref)
+        assert abs(lhs - rhs) < 1e-9, (lhs, rhs)
+        max_div = max(max_div, abs(ref - canon))
+
+    # the two variants genuinely differ on dissimilar ellipses...
+    assert max_div > 0.01
+    # ...but both are exact zero for identical ellipses
+    assert _dga_pair(
+        _ellipse_Y(np.array(5.0), np.array(3.0), np.array(0.3)),
+        _ellipse_Y(np.array(5.0), np.array(3.0), np.array(0.3)),
+        np.array([[1.0], [2.0]]), np.array([[1.0], [2.0]]),
+    ) == 0.0
+    assert dga_pair_canonical(5, 3, 0.3, [1, 2], 5, 3, 0.3, [1, 2]) == 0.0
+
+    # monotone in center distance (fixed shapes)
+    ds = [
+        dga_pair_canonical(5, 3, 0.0, [0, 0], 5, 3, 0.0, [t, 0.0])
+        for t in np.linspace(0, 20, 15)
+    ]
+    assert all(x <= y + 1e-12 for x, y in zip(ds, ds[1:]))

@@ -216,3 +216,35 @@ def test_blocked_topk_matches_exact_on_sparse():
     assert bs2.shape == (B, K) and bi2.shape == (B, K)
     assert bool((jnp.diff(bs2, axis=1) <= 1e-7).all())
     assert bool((bi2 >= 0).all()) and bool((bi2 < A + 128).all())
+
+
+def test_postprocess_from_feats_bf16_native():
+    """bf16 feats through the fused path == the unfused path on the same
+    bf16 values cast to f32 up front — selection/argmax/max are value-exact
+    in bf16 and only the K selected rows reach the f32 DFL integral."""
+    import jax.numpy as jnp
+
+    from yolo_scratch_tpu.nn.modules import detect_decode
+    from yolo_scratch_tpu.ops.decode import postprocess, postprocess_from_feats
+
+    rng = np.random.RandomState(21)
+    B, nc, reg_max, img = 2, 5, 16, 64
+    strides = (8.0, 16.0, 32.0)
+    no = nc + 4 * reg_max
+    feats_bf16 = [
+        jnp.asarray(rng.randn(B, img // int(s), img // int(s), no).astype(np.float32) * 2
+                    ).astype(jnp.bfloat16)
+        for s in strides
+    ]
+    feats_f32 = [f.astype(jnp.float32) for f in feats_bf16]
+
+    ref = postprocess(detect_decode(feats_f32, nc, strides, reg_max),
+                      img_size=img, conf_threshold=0.25, iou_threshold=0.45,
+                      max_det=20, pre_nms_topk=32)
+    got = postprocess_from_feats(
+        feats_bf16, nc=nc, strides=strides, img_size=img, reg_max=reg_max,
+        conf_threshold=0.25, iou_threshold=0.45, max_det=20, pre_nms_topk=32)
+
+    for r, g, name in zip(ref, got, ["boxes", "scores", "labels", "valid"]):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=1e-6, atol=1e-7, err_msg=name)

@@ -70,7 +70,7 @@ class Predictor:
             # fused select-then-decode (exact; see ops/decode.py) — the DFL
             # integral runs on pre_nms_topk candidates, not all anchors
             return postprocess_from_feats(
-                [f.astype(jnp.float32) for f in feats],
+                feats,  # native dtype — row selection is dtype-exact
                 nc=model.nc,
                 strides=tuple(float(s) for s in model.strides),
                 reg_max=model.reg_max,

@@ -225,17 +225,28 @@ def postprocess_from_feats(
     B = feats[0].shape[0]
     no = nc + 4 * reg_max
     flat = [f.reshape(B, -1, no) for f in feats]
-    x = jnp.concatenate(flat, axis=1).astype(jnp.float32)  # (B, A, no)
-    A = x.shape[1]
+    # Stay in the feats' native dtype (bf16 on the deploy path) until after
+    # row selection: max/argmax/one-hot selection are value-exact in any
+    # dtype, and the dense (B, A, no) tensor is the dominant HBM traffic
+    # here. Only the K selected rows are cast to f32 for the DFL integral —
+    # bit-identical to casting everything up front.
+    A = sum(f.shape[1] for f in flat)
+    pad_rows = (-A) % 128
+    if pad_rows:
+        # fold select_rows' 128-row alignment pad into the concat (a
+        # separate jnp.pad materializes a second full (B, A, no) copy)
+        flat = flat + [jnp.zeros((B, pad_rows, no), flat[0].dtype)]
+    x = jnp.concatenate(flat, axis=1)  # (B, A_pad, no)
     anchor_points, stride_tensor = make_anchors(
         [(f.shape[1], f.shape[2], s) for f, s in zip(feats, strides)], 0.5,
         dtype=jnp.float32,
     )
 
     cls_logits = x[..., 4 * reg_max:]
-    scores = jax.nn.sigmoid(jnp.max(cls_logits, axis=-1))
-    labels = jnp.argmax(cls_logits, axis=-1)
+    scores = jax.nn.sigmoid(jnp.max(cls_logits, axis=-1).astype(jnp.float32))
     conf_ok = scores > conf_threshold
+    if pad_rows:  # padding rows (sigmoid(0)=0.5) must never be candidates
+        conf_ok = conf_ok & (jnp.arange(A + pad_rows)[None] < A)
 
     k = min(pre_nms_topk, A)
     top_scores, top_idx = topk_scores(
@@ -243,21 +254,27 @@ def postprocess_from_feats(
     top_valid = jnp.isfinite(top_scores)
     top_scores = jnp.where(top_valid, top_scores, 0.0)
 
-    # one selection over box logits + per-anchor constants + label
-    anchor_payload = jnp.concatenate([anchor_points, stride_tensor], axis=-1)  # (A, 3)
-    payload = jnp.concatenate(
-        [
-            x[..., : 4 * reg_max],
-            jnp.broadcast_to(anchor_payload[None], (B, A, 3)),
-            labels[..., None].astype(jnp.float32),
-        ],
-        axis=-1,
-    )  # (B, A, 4*reg_max+4)
-    sel = select_rows(payload, top_idx)
+    # row-select the raw head columns (box logits + cls logits together —
+    # the label argmax runs on the K selected rows, not all A), and the
+    # per-anchor constants from the small (A, 3) table (never broadcast to
+    # (B, A, 3))
+    sel = select_rows(x, top_idx).astype(jnp.float32)  # (B, K, no)
     box_logits = sel[..., : 4 * reg_max]
-    sel_anchor = sel[..., 4 * reg_max: 4 * reg_max + 2]
-    sel_stride = sel[..., 4 * reg_max + 2: 4 * reg_max + 3]
-    top_labels = sel[..., 4 * reg_max + 3].astype(jnp.int32)
+    top_labels = jnp.argmax(sel[..., 4 * reg_max:], axis=-1).astype(jnp.int32)
+
+    anchor_payload = jnp.concatenate([anchor_points, stride_tensor], axis=-1)  # (A, 3)
+    lanes = 128
+    a_pad = ((A + lanes - 1) // lanes) * lanes
+    anch = jnp.pad(anchor_payload, ((0, a_pad - A), (0, 0))).reshape(
+        a_pad // lanes, lanes, 3)
+    oh_lane = ((top_idx % lanes)[..., None] == jnp.arange(lanes)[None, None]
+               ).astype(jnp.float32)
+    oh_blk = ((top_idx // lanes)[..., None] == jnp.arange(a_pad // lanes)[None, None]
+              ).astype(jnp.float32)
+    sel_anch = jnp.einsum(
+        "bkm,bkmc->bkc", oh_blk, jnp.einsum("bkl,mlc->bkmc", oh_lane, anch))
+    sel_anchor = sel_anch[..., :2]
+    sel_stride = sel_anch[..., 2:3]
 
     # same op order as detect_decode -> _prefilter (xywh then corner
     # conversion) so numerics match the unfused path bit-for-bit

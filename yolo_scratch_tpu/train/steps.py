@@ -143,7 +143,7 @@ def make_eval_step(model, loss_cfg: DetectionLossConfig = None, conf_threshold: 
         if fused_decode:
             # select-then-decode: exact, DFL integral on pre_nms_topk rows only
             boxes, scores, labels, valid = postprocess_from_feats(
-                [f.astype(jnp.float32) for f in feats],
+                feats,  # native dtype — row selection is dtype-exact
                 nc=model.nc,
                 strides=tuple(float(s) for s in model.strides),
                 reg_max=model.reg_max,

@@ -302,6 +302,47 @@ def _dga_pair(Yi, Yj, yi, yj) -> float:
     return float(math.acos(cos_term))
 
 
+def dga_pair_canonical(a1, b1, phi1, c1, a2, b2, phi2, c2) -> float:
+    """Independent Gaussian-angle implementation for cross-checking.
+
+    Canonical definition, derived from scratch rather than transcribed from
+    the reference: each ellipse is the 1-sigma contour of a Gaussian with
+    covariance Sigma = R(phi) diag(a^2, b^2) R(phi)^T; the angle is the
+    L2 inner-product angle between the two density functions,
+
+        cos(dGA) = <p, q> / (||p|| ||q||)
+                 = 2 (det S1 det S2)^{1/4} det(S1+S2)^{-1/2}
+                   * exp(-1/2 (mu1-mu2)^T (S1+S2)^{-1} (mu1-mu2)).
+
+    Relationship to the reference's formula (``_dga_pair``, reference
+    ``utils/metrics.py:456-481``): the reference uses the SQUARE of this
+    determinant prefactor with the same exponential —
+    ``cos_ref = prefactor^2 * exp(.) = cos_canonical * prefactor``. The two
+    agree exactly at dGA=0 (identical ellipses) and diverge for dissimilar
+    shapes; ``tests/test_metrics_parity.py::test_dga_canonical_relationship``
+    verifies the identity and bounds the divergence. Golden parity keeps the
+    reference formula on all scoring paths; this function exists so CDA
+    numbers can be independently sanity-checked (VERDICT round-1, weak #6).
+    """
+    def cov(a, b, phi):
+        # rotation sense matches _ellipse_Y (clockwise-phi), so the two
+        # formulas see the same Gaussian for the same (a, b, phi) triple
+        c, s = math.cos(phi), math.sin(phi)
+        R = np.array([[c, s], [-s, c]])
+        return R @ np.diag([a * a, b * b]) @ R.T
+
+    S1, S2 = cov(a1, b1, phi1), cov(a2, b2, phi2)
+    Ssum = S1 + S2
+    det1, det2, dets = np.linalg.det(S1), np.linalg.det(S2), np.linalg.det(Ssum)
+    if det1 <= 0 or det2 <= 0 or dets <= 0:
+        return math.pi / 2.0
+    d = np.asarray(c1, np.float64).reshape(2) - np.asarray(c2, np.float64).reshape(2)
+    e = -0.5 * float(d @ np.linalg.solve(Ssum, d))
+    pref = 2.0 * (det1 * det2) ** 0.25 / math.sqrt(dets)
+    cos_term = min(1.0, max(-1.0, pref * math.exp(e)))
+    return float(math.acos(cos_term))
+
+
 def _boxes_to_ellipses(boxes: np.ndarray, angles: Optional[np.ndarray], sort_axes: bool):
     """xyxy -> (a, b, xc, yc, phi) arrays. ``sort_axes`` picks
     semimajor=max(half_w, half_h) (cda_nms semantics ``:549-552``); the full
