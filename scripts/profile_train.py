@@ -1,0 +1,100 @@
+"""Device-trace the jitted train step and print top ops.
+
+Usage: python scripts/profile_train.py [--batch 64] [--imgsz 640]
+Then:  python scripts/parse_trace.py --dir /tmp/yst_trace_train
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--imgsz", type=int, default=640)
+    ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    from yolo_scratch_tpu.losses.v8_loss import DetectionLossConfig
+    from yolo_scratch_tpu.models.builder import build_yolo11
+    from yolo_scratch_tpu.train.optim import make_optimizer
+    from yolo_scratch_tpu.train.state import create_train_state
+    from yolo_scratch_tpu.train.steps import build_train_step_custom, v8_loss_adapter
+
+    img, ch, nc, G = args.imgsz, 1, 5, 24
+    B = args.batch
+    model = build_yolo11(
+        str(Path(__file__).parent.parent / "yolo_scratch_tpu/configs/yolo11_crater.yaml"),
+        ch=ch, nc=nc, scale="n",
+    )
+    tx = make_optimizer(1e-3)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), np.zeros((1, img, img, ch), np.float32),
+        tx, use_ema=True,
+    )
+    cfg = DetectionLossConfig(nc=nc, strides=model.strides)
+    step = jax.jit(build_train_step_custom(
+        model, v8_loss_adapter(cfg),
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
+    ))
+
+    rng = np.random.RandomState(0)
+    nb = 3
+    batch = {
+        "img": rng.rand(B, img, img, ch).astype(np.float32),
+        "gt_labels": rng.randint(0, nc, (B, G)).astype(np.int32),
+        "gt_bboxes": np.abs(rng.rand(B, G, 4).astype(np.float32)) * 0.4 + 0.1,
+        "gt_mask": (rng.rand(B, G) > 0.5),
+    }
+    # xywh-ish sane boxes in pixels
+    cx = rng.rand(B, G) * img
+    cy = rng.rand(B, G) * img
+    w = rng.rand(B, G) * 100 + 8
+    h = rng.rand(B, G) * 100 + 8
+    batch["gt_bboxes"] = np.stack(
+        [np.clip(cx - w / 2, 0, img), np.clip(cy - h / 2, 0, img),
+         np.clip(cx + w / 2, 0, img), np.clip(cy + h / 2, 0, img)], -1
+    ).astype(np.float32)
+
+    print("compiling...", flush=True)
+    s2, m = step(state, batch)
+    m = {k: float(v) for k, v in m.items()}
+    print("loss:", m.get("loss"), flush=True)
+
+    def sync(st):
+        np.asarray(jax.tree_util.tree_leaves(st.params)[0])
+
+    sync(s2)
+    t0 = time.perf_counter()
+    s = s2
+    for _ in range(args.iters):
+        s, _ = step(s, batch)
+    sync(s)
+    dt = (time.perf_counter() - t0) / args.iters
+    print(f"train step: {dt * 1e3:.1f} ms  ({B / dt:.1f} img/s)", flush=True)
+
+    print("tracing...", flush=True)
+    with jax.profiler.trace("/tmp/yst_trace_train"):
+        for _ in range(args.iters):
+            s, _ = step(s, batch)
+        sync(s)
+    print("trace written to /tmp/yst_trace_train", flush=True)
+
+
+if __name__ == "__main__":
+    main()
