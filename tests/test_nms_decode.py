@@ -248,3 +248,18 @@ def test_postprocess_from_feats_bf16_native():
     for r, g, name in zip(ref, got, ["boxes", "scores", "labels", "valid"]):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(r), rtol=1e-6, atol=1e-7, err_msg=name)
+
+
+def test_nms_presorted_matches():
+    """nms(presorted=True) on score-descending inputs == the sorting path."""
+    from yolo_scratch_tpu.ops.nms import nms
+
+    boxes, scores = _random_boxes(9, n=60)
+    order = np.argsort(-scores, kind="stable")
+    bs, ss = boxes[order], scores[order]
+    valid = ss > 0.2
+
+    ref = np.asarray(nms(bs, ss, iou_threshold=0.5, max_det=30, valid=valid))
+    got = np.asarray(nms(bs, ss, iou_threshold=0.5, max_det=30, valid=valid,
+                         presorted=True))
+    np.testing.assert_array_equal(got, ref)

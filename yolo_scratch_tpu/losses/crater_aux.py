@@ -96,7 +96,9 @@ def classification_loss(
         valid = valid * valid_mask.astype(pred_logits.dtype)
     t = jnp.clip(target, 0, nc - 1)
     logp = jax.nn.log_softmax(pred_logits, axis=-1)
-    ce = -jnp.take_along_axis(logp, t[..., None], axis=-1)[..., 0]
+    # one-hot masked sum instead of take_along_axis (scalar-core gather)
+    ce = -jnp.sum(
+        jnp.where(t[..., None] == jnp.arange(nc, dtype=t.dtype), logp, 0.0), axis=-1)
     num = jnp.maximum(valid.sum(), 1.0)
     return jnp.where(valid.sum() > 0, (ce * valid).sum() / num, 0.0)
 

@@ -52,8 +52,13 @@ def _df_loss(pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     wl = tr.astype(target.dtype) - target
     wr = 1.0 - wl
     logp = jax.nn.log_softmax(pred_dist, axis=-1)
-    ce_l = -jnp.take_along_axis(logp, tl[..., None], axis=-1)[..., 0]
-    ce_r = -jnp.take_along_axis(logp, tr[..., None], axis=-1)[..., 0]
+    # bin lookup as a one-hot contraction: take_along_axis over the
+    # reg_max axis is a scalar-core gather and measured 36.6 ms PER CALL
+    # at (64, 8400, 4, 16) — 44% of the whole train step; the masked sum
+    # is exact (one nonzero term) and pure VPU (~0.2 ms)
+    bins = jnp.arange(reg_max, dtype=jnp.int32)
+    ce_l = -jnp.sum(jnp.where(tl[..., None] == bins, logp, 0.0), axis=-1)
+    ce_r = -jnp.sum(jnp.where(tr[..., None] == bins, logp, 0.0), axis=-1)
     return (ce_l * wl + ce_r * wr).mean(axis=-1)  # (...,)
 
 
@@ -81,9 +86,13 @@ def _fallback_assign(pred_bboxes_px, gt_labels, gt_bboxes_px, mask_gt, nc):
     g_sel = jnp.max(jnp.where(match, g_ids, -1), axis=-1)  # (B, A), -1 = background
     fg = g_sel >= 0
     g_safe = jnp.clip(g_sel, 0, None)
-    tb = jnp.take_along_axis(gt_bboxes_px, g_safe[..., None], axis=1)
+    # per-anchor GT lookup as a one-hot contraction (take_along_axis here
+    # is a (B, A, 4)-sized scalar-core gather, same class as the DFL one)
+    g_oh = jax.nn.one_hot(g_safe, G, dtype=gt_bboxes_px.dtype)  # (B, A, G)
+    tb = jnp.einsum("bag,bgk->bak", g_oh, gt_bboxes_px)
     tb = jnp.where(fg[..., None], tb, 0.0)
-    tl = jnp.where(fg, jnp.take_along_axis(gt_labels.astype(jnp.int32), g_safe, axis=1), nc)
+    tl_gather = jnp.sum(g_oh * gt_labels[:, None, :].astype(g_oh.dtype), axis=-1)
+    tl = jnp.where(fg, tl_gather.astype(jnp.int32), nc)
     ts = jax.nn.one_hot(tl, nc, dtype=jnp.float32) * fg[..., None]
     return tl, tb, ts, fg
 

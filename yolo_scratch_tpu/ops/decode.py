@@ -173,10 +173,12 @@ def postprocess(
                 class_ids=labels, class_aware=class_aware,
             )
     else:
+        # candidates come score-sorted from the top-k prefilter: presorted
+        # skips the per-image argsort and its scalar-core reorder gathers
         keep = jax.vmap(
             lambda b, s, v, c: nms(
                 b, s, iou_threshold=iou_threshold, max_det=max_det, valid=v,
-                class_ids=c, class_aware=class_aware,
+                class_ids=c, class_aware=class_aware, presorted=True,
             )
         )(boxes, scores, valid, labels)
 
@@ -295,10 +297,12 @@ def postprocess_from_feats(
             max_det=max_det, class_ids=top_labels, class_aware=class_aware,
         )
     else:
+        # candidates come score-sorted from the top-k prefilter: presorted
+        # skips the per-image argsort and its scalar-core reorder gathers
         keep = jax.vmap(
             lambda b, s, v, c: nms(
                 b, s, iou_threshold=iou_threshold, max_det=max_det, valid=v,
-                class_ids=c, class_aware=class_aware,
+                class_ids=c, class_aware=class_aware, presorted=True,
             )
         )(boxes, top_scores, top_valid, top_labels)
 

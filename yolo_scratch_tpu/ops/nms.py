@@ -29,6 +29,7 @@ def nms(
     valid: jnp.ndarray | None = None,
     class_ids: jnp.ndarray | None = None,
     class_aware: bool = False,
+    presorted: bool = False,
 ):
     """Greedy NMS over (N, 4) xyxy boxes with (N,) scores.
 
@@ -37,6 +38,10 @@ def nms(
             be kept (equivalent to the reference's pre-NMS confidence filter,
             ``train_yolo11_cuda.py:307``).
         class_ids: (N,) int labels, used only when ``class_aware``.
+        presorted: caller guarantees ``scores`` is already descending (the
+            prefilter's top-k output is) — skips the internal argsort and,
+            more importantly, the (N, 4) reorder gathers that run on the
+            TPU scalar core.
 
     Returns:
         keep: (N,) bool — surviving boxes (at most ``max_det`` of them, by
@@ -51,9 +56,12 @@ def nms(
         span = jnp.max(jnp.abs(boxes)) + 1.0
         boxes = boxes + (class_ids.astype(boxes.dtype) * span * 2.0)[:, None]
 
-    order = jnp.argsort(-scores)
-    boxes_s = boxes[order]
-    valid_s = valid[order]
+    if presorted:
+        boxes_s, valid_s = boxes, valid
+    else:
+        order = jnp.argsort(-scores)
+        boxes_s = boxes[order]
+        valid_s = valid[order]
 
     iou = pairwise_iou(boxes_s, boxes_s)
     idx = jnp.arange(n)
@@ -70,6 +78,8 @@ def nms(
     rank = jnp.cumsum(keep_s.astype(jnp.int32)) - 1
     keep_s = keep_s & (rank < max_det)
 
+    if presorted:
+        return keep_s
     # Un-sort back to the caller's order.
     keep = jnp.zeros((n,), dtype=bool).at[order].set(keep_s)
     return keep
