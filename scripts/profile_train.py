@@ -2,6 +2,12 @@
 
 Usage: python scripts/profile_train.py [--batch 64] [--imgsz 640]
 Then:  python scripts/parse_trace.py --dir /tmp/yst_trace_train
+
+NOTE: the wall-clock "train step: N ms" line is tunnel-artifacted —
+passing a fresh ~300-leaf state pytree per step costs seconds of RPC
+overhead under the axon tunnel (a real host does not pay this). The
+honest number is the `jit_step` device span in the parsed trace
+(87.9 ms at B=64 bf16 as of round 2).
 """
 
 from __future__ import annotations
