@@ -80,8 +80,10 @@ def main():
         _, outs = jax.lax.scan(body, None, xs)
         return outs
 
-    xs = jnp.asarray(
-        (np.random.RandomState(0).rand(nscan, batch, img, img, ch) * 255).astype(np.uint8))
+    # direct u8 generation — rand() would build 420M float64s first (~45 s
+    # on this 1-core host before the TPU sees anything)
+    xs = jnp.asarray(np.random.RandomState(0).randint(
+        0, 256, (nscan, batch, img, img, ch), dtype=np.uint8))
 
     def sync(out):
         # NOTE: under the axon TPU tunnel, block_until_ready returns before
