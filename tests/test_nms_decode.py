@@ -263,3 +263,26 @@ def test_nms_presorted_matches():
     got = np.asarray(nms(bs, ss, iou_threshold=0.5, max_det=30, valid=valid,
                          presorted=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_select_rows_exact():
+    """select_rows == take_along_axis for arbitrary payloads/indices, in
+    f32 and bf16 (one-hot products are value-exact in any dtype)."""
+    import jax.numpy as jnp
+
+    from yolo_scratch_tpu.ops.decode import select_rows
+
+    rng = np.random.RandomState(5)
+    B, A, C, K = 3, 300, 7, 40  # A not a multiple of 128 — exercises pad
+    payload = rng.randn(B, A, C).astype(np.float32) * 100
+    idx = rng.randint(0, A, (B, K)).astype(np.int32)
+
+    ref = np.take_along_axis(payload, idx[..., None], axis=1)
+    got = np.asarray(select_rows(jnp.asarray(payload), jnp.asarray(idx)))
+    np.testing.assert_array_equal(got, ref)
+
+    p16 = jnp.asarray(payload).astype(jnp.bfloat16)
+    got16 = np.asarray(select_rows(p16, jnp.asarray(idx)).astype(jnp.float32))
+    ref16 = np.take_along_axis(
+        np.asarray(p16.astype(jnp.float32)), idx[..., None], axis=1)
+    np.testing.assert_array_equal(got16, ref16)

@@ -152,3 +152,25 @@ def test_postprocess_class_aware_pallas_matches_xla():
                         pre_nms_topk=64, class_aware=True, nms_impl="pallas")
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_pallas_batched_presorted_matches():
+    """nms_pallas_batched(presorted=True) on sorted rows == sorting path."""
+    import numpy as np
+
+    from yolo_scratch_tpu.ops.pallas_nms import nms_pallas_batched
+
+    rng = np.random.RandomState(11)
+    B, N = 2, 96
+    centers = rng.rand(B, N, 2) * 150
+    wh = rng.rand(B, N, 2) * 40 + 4
+    boxes = np.concatenate([centers - wh / 2, centers + wh / 2], -1).astype(np.float32)
+    scores = np.sort(rng.rand(B, N).astype(np.float32), axis=1)[:, ::-1].copy()
+    valid = rng.rand(B, N) > 0.1
+
+    ref = np.asarray(nms_pallas_batched(boxes, scores, valid,
+                                        iou_threshold=0.5, max_det=30))
+    got = np.asarray(nms_pallas_batched(boxes, scores, valid,
+                                        iou_threshold=0.5, max_det=30,
+                                        presorted=True))
+    np.testing.assert_array_equal(got, ref)

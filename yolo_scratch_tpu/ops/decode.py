@@ -170,7 +170,7 @@ def postprocess(
         else:
             keep = nms_pallas_batched(
                 boxes, scores, valid, iou_threshold=iou_threshold, max_det=max_det,
-                class_ids=labels, class_aware=class_aware,
+                class_ids=labels, class_aware=class_aware, presorted=True,
             )
     else:
         # candidates come score-sorted from the top-k prefilter: presorted
@@ -295,6 +295,7 @@ def postprocess_from_feats(
         keep = nms_pallas_batched(
             boxes, top_scores, top_valid, iou_threshold=iou_threshold,
             max_det=max_det, class_ids=top_labels, class_aware=class_aware,
+            presorted=True,
         )
     else:
         # candidates come score-sorted from the top-k prefilter: presorted

@@ -184,10 +184,20 @@ def nms_pallas_batched(
     interpret: bool | None = None,
     class_ids: jnp.ndarray | None = None,
     class_aware: bool = False,
+    presorted: bool = False,
 ):
-    """Batched drop-in for vmapped ``ops.nms.nms``."""
+    """Batched drop-in for vmapped ``ops.nms.nms``.
+
+    ``presorted``: caller guarantees rows are already score-descending
+    (the prefilter's top-k output is) — skips the argsort and its
+    scalar-core reorder gathers.
+    """
     if class_aware and class_ids is not None:
         boxes = _class_offset(boxes, class_ids)
+    if presorted:
+        keep = nms_sweep_pallas_batched(boxes, valid, iou_threshold, interpret=interpret)
+        rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+        return keep & (rank < max_det)
     order = jnp.argsort(-scores, axis=1)
     boxes_s = jnp.take_along_axis(boxes, order[..., None], axis=1)
     valid_s = jnp.take_along_axis(valid, order, axis=1)
