@@ -91,3 +91,48 @@ def test_coco_trains_via_loader(coco_root):
     assert batch["img"].shape == (4, 64, 64, 3)
     assert batch["gt_bboxes"].shape == (4, 8, 4)
     assert (batch["gt_bboxes"][~batch["gt_mask"]] == 0).all()
+
+
+def test_synthetic_coco80_end_to_end(tmp_path):
+    """The nc=80 synthetic generator (scripts/gen_coco_synth.py) feeds the
+    reader, the padded loader, and the class-aware postprocess — the
+    COCO-class-count paths that crater data (nc=5) never exercises."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    import numpy as np
+
+    root = Path(__file__).resolve().parent.parent
+    out = tmp_path / "coco80"
+    r = subprocess.run(
+        [_sys.executable, str(root / "scripts/gen_coco_synth.py"),
+         "--out", str(out), "--n", "8", "--img-size", "96", "--nc", "80"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+
+    from yolo_scratch_tpu.data.coco import CocoDataset
+    from yolo_scratch_tpu.data.loader import Loader
+
+    ds = CocoDataset(str(out / "annotations/instances.json"),
+                     str(out / "images"), img_size=96)
+    assert len(ds.class_names) == 80
+    batch = next(iter(Loader(ds, batch_size=4, max_gt=8, prefetch=0)))
+    assert batch["img"].shape == (4, 96, 96, 3)
+    assert int(batch["gt_labels"].max()) < 80
+
+    # class-aware postprocess at nc=80 (the COCO deploy default)
+    from yolo_scratch_tpu.ops.decode import postprocess
+
+    rng = np.random.RandomState(0)
+    A = 126
+    pred = np.zeros((2, A, 4 + 80), np.float32)
+    pred[..., 0:2] = rng.rand(2, A, 2) * 96
+    pred[..., 2:4] = rng.rand(2, A, 2) * 20 + 2
+    pred[..., 4:] = rng.rand(2, A, 80).astype(np.float32)
+    for impl in ("xla", "pallas", "tiled"):
+        boxes, scores, labels, valid = postprocess(
+            pred, img_size=96, conf_threshold=0.25, iou_threshold=0.45,
+            max_det=20, pre_nms_topk=64, class_aware=True, nms_impl=impl)
+        assert boxes.shape == (2, 20, 4)
+        assert int(np.asarray(labels).max()) < 80
