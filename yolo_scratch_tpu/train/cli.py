@@ -97,7 +97,7 @@ def make_datasets(args):
         ds = CraterDataset(args.data, img_size=args.imgsz)
         return ds, 1, 5
     root = Path(args.data)
-    anns = sorted(root.glob("annotations/instances_*.json")) or sorted(root.glob("*.json"))
+    anns = sorted(root.glob("annotations/instances*.json")) or sorted(root.glob("*.json"))
     if not anns:
         raise FileNotFoundError(f"no COCO annotations under {root}")
     img_dir = root / "images" if (root / "images").is_dir() else root
