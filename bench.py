@@ -53,16 +53,18 @@ def main():
         # NMS impl crossover: the Pallas batch-in-kernel sweep wins up to
         # ~B=32 (1.57 vs 2.32 ms at N=512); XLA's cross-batch loop wins at
         # large batch.
-        # blocked_topk=32: two-stage candidate selection (per-128-anchor-
-        # block top-32, then exact top-512 of the survivors) — identical to
-        # exact whenever <=32 of the global top-512 share one block, which
-        # real scenes satisfy with large margin; same shapes/cost either way
+        # blocked_topk=0 (EXACT selection): the two-stage blocked variant
+        # was validated on trained-model score distributions and found
+        # unsafe — dense scenes put up to 68 of the global top-512 in one
+        # 128-anchor block (scripts/validate_blocked_topk.py), so the
+        # deploy path and this bench both run the exact top-k (~+0.76 ms
+        # at B=128 vs blocked; docs/PERF.md "blocked selection" section)
         return postprocess_from_feats(
             feats,  # native bf16 — row selection is dtype-exact; f32 after
             nc=nc, strides=tuple(float(s) for s in model.strides), img_size=img,
             conf_threshold=0.25, iou_threshold=0.45, max_det=300,
             pre_nms_topk=512, nms_impl="pallas" if batch <= 32 else "xla",
-            blocked_topk=32)
+            blocked_topk=0)
 
     # NSCAN batches are processed per program launch (lax.scan over distinct
     # inputs — every image is fully processed; nothing is hoisted). A real

@@ -56,7 +56,7 @@ def main():
         return postprocess_from_feats(
             feats, nc=nc, strides=tuple(float(s) for s in model.strides),
             img_size=img, conf_threshold=0.25, iou_threshold=0.45, max_det=300,
-            pre_nms_topk=512, nms_impl="xla", blocked_topk=32)
+            pre_nms_topk=512, nms_impl="xla", blocked_topk=0)
 
     @jax.jit
     def infer(v, xs):

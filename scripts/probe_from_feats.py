@@ -61,7 +61,7 @@ def main():
     f_native = jax.jit(partial(
         postprocess_from_feats, nc=nc, strides=strides, img_size=img,
         conf_threshold=0.25, iou_threshold=0.45, max_det=300, pre_nms_topk=512,
-        nms_impl="xla", blocked_topk=32))
+        nms_impl="xla", blocked_topk=0))
 
     def f32_first(fs, **kw):
         return postprocess_from_feats([f.astype(jnp.float32) for f in fs], **kw)
@@ -69,7 +69,7 @@ def main():
     f_cast = jax.jit(partial(
         f32_first, nc=nc, strides=strides, img_size=img,
         conf_threshold=0.25, iou_threshold=0.45, max_det=300, pre_nms_topk=512,
-        nms_impl="xla", blocked_topk=32))
+        nms_impl="xla", blocked_topk=0))
 
     t_n = timed(f_native, feats)
     print(f"native-bf16 selection: {t_n * 1e3:7.3f} ms", flush=True)

@@ -1,0 +1,76 @@
+"""Deploy CLI (infer.py): checkpoint dim auto-detect + end-to-end serving.
+
+The reference deploy path hardcodes ch=1 nc=5 (``train_yolo11_cuda.py:554``);
+our CLI reads (ch, nc) off the checkpoint's params tree so it serves
+whatever the train CLI produced — including nc=80 COCO-style models with
+class-aware Pallas NMS.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+import jax
+
+CFG = str(Path(__file__).resolve().parent.parent
+          / "yolo_scratch_tpu/configs/yolo11_crater.yaml")
+
+
+def _make_ckpt(tmp_path, ch, nc, imgsz=160):
+    from yolo_scratch_tpu.models.builder import build_yolo11
+    from yolo_scratch_tpu.train.checkpoints import CheckpointManager
+    from yolo_scratch_tpu.train.optim import make_optimizer
+    from yolo_scratch_tpu.train.state import create_train_state
+
+    model = build_yolo11(CFG, ch=ch, nc=nc, scale="n")
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        np.zeros((1, imgsz, imgsz, ch), np.float32), make_optimizer(),
+    )
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save_epoch(state, 0, {}, {"mAP50": 0.5}, float("inf"), 0.0)
+    mgr.wait()
+    return state
+
+
+def test_dims_from_params():
+    from yolo_scratch_tpu.models.builder import build_yolo11, dims_from_params
+
+    model = build_yolo11(CFG, ch=3, nc=80, scale="n")
+    v = model.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32))
+    assert dims_from_params(v["params"]) == (3, 80)
+
+    model1 = build_yolo11(CFG, ch=1, nc=5, scale="n")
+    v1 = model1.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 1), np.float32))
+    assert dims_from_params(v1["params"]) == (1, 5)
+
+
+def test_infer_cli_serves_nc80_checkpoint(tmp_path):
+    """No --nc/--ch flags: the CLI must detect (3, 80) from the checkpoint,
+    restore it, and stream class-aware Pallas-NMS detections end-to-end."""
+    from PIL import Image
+
+    from yolo_scratch_tpu import infer as infer_cli
+
+    _make_ckpt(tmp_path, ch=3, nc=80)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):  # odd count: exercises final-short-batch padding
+        Image.fromarray((rng.rand(80, 100, 3) * 255).astype(np.uint8)).save(
+            img_dir / f"i{i}.png")
+
+    out = tmp_path / "preds.json"
+    results = infer_cli.main([
+        "--images", str(img_dir), "--ckpt", str(tmp_path / "ckpt"),
+        "--imgsz", "160", "--batch", "2", "--out", str(out), "--class-aware",
+    ])
+    assert len(results) == 3
+    data = json.loads(out.read_text())
+    assert len(data) == 3
+    for row in data:
+        assert set(row) >= {"path", "boxes", "scores", "labels"}
+        for lab in row["labels"]:
+            assert 0 <= lab < 80

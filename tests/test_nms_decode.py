@@ -286,3 +286,40 @@ def test_select_rows_exact():
     ref16 = np.take_along_axis(
         np.asarray(p16.astype(jnp.float32)), idx[..., None], axis=1)
     np.testing.assert_array_equal(got16, ref16)
+
+
+def test_class_aware_agreement_at_deploy_shapes():
+    """Pallas == XLA == tiled class-aware NMS through the fused deploy
+    postprocess at SERVING shapes: nc=80, pre_nms_topk=512, max_det=300,
+    320px FPN anchor grid (the nc=80 model the train CLI produces and
+    infer.py now serves). Guards the deploy Predictor's
+    ``nms_impl="pallas"`` + ``class_aware`` routing."""
+    import jax.numpy as jnp
+
+    from yolo_scratch_tpu.ops.decode import postprocess_from_feats
+
+    rng = np.random.RandomState(5)
+    B, nc, reg_max, img = 2, 80, 16, 320
+    strides = (8.0, 16.0, 32.0)
+    no = nc + 4 * reg_max
+    feats = []
+    for s in strides:
+        g = img // int(s)
+        f = rng.randn(B, g, g, no).astype(np.float32)
+        # bias class logits so a realistic few hundred anchors pass conf
+        f[..., 4 * reg_max:] = f[..., 4 * reg_max:] * 2.0 - 3.0
+        feats.append(jnp.asarray(f))
+
+    outs = {}
+    for impl in ("xla", "pallas", "tiled"):
+        outs[impl] = [
+            np.asarray(t) for t in postprocess_from_feats(
+                feats, nc=nc, strides=strides, img_size=img, reg_max=reg_max,
+                conf_threshold=0.25, iou_threshold=0.45, max_det=300,
+                pre_nms_topk=512, class_aware=True, nms_impl=impl)
+        ]
+    n_det = int(outs["xla"][3].sum())
+    assert n_det > 50  # the comparison must exercise real suppression
+    for impl in ("pallas", "tiled"):
+        for a, b, name in zip(outs["xla"], outs[impl], ("boxes", "scores", "labels", "valid")):
+            np.testing.assert_array_equal(a, b, err_msg=f"{impl}:{name}")

@@ -38,6 +38,14 @@ class PredictorConfig:
     class_aware_nms: bool = False
     host_threads: int = 4
     u8_transfer: bool = True  # ship uint8 to the device; /255 runs in-jit
+    # Two-stage blocked candidate selection (ops/decode.py::topk_scores).
+    # 0 (exact top_k) is the default: validation on trained-model score
+    # distributions (scripts/validate_blocked_topk.py) measured up to 68
+    # of the global top-512 in a single 128-anchor block on dense scenes,
+    # so a 32-cutoff blocked pass visibly changes detections. Opt in
+    # (e.g. 32, ~0.76 ms faster at B=128) only after validating your own
+    # workload's block occupancy with that script.
+    blocked_topk: int = 0
 
 
 class Predictor:
@@ -80,7 +88,10 @@ class Predictor:
                 max_det=cfg.max_det,
                 pre_nms_topk=cfg.pre_nms_topk,
                 class_aware=cfg.class_aware_nms,
-                nms_impl="xla" if cfg.class_aware_nms else "pallas",
+                # the Pallas batched kernel is class-aware since b3a219e
+                # (per-class box offset before the sweep) — no XLA fallback
+                nms_impl="pallas",
+                blocked_topk=cfg.blocked_topk,
             )
 
         self._infer = jax.jit(_infer)
@@ -201,9 +212,20 @@ def main(argv=None):
     p.add_argument("--iou", type=float, default=0.45)
     p.add_argument("--out", type=str, default=None, help="write JSON here")
     p.add_argument("--stretch", action="store_true", help="stretch-resize (reference semantics)")
+    p.add_argument("--nc", type=int, default=None,
+                   help="class count (default: read from the checkpoint)")
+    p.add_argument("--ch", type=int, default=None,
+                   help="input channels (default: read from the checkpoint)")
+    p.add_argument("--which", type=str, default="best", choices=["best", "last"])
+    p.add_argument("--class-aware", action="store_true",
+                   help="class-aware NMS (per-class suppression; COCO-style serving)")
+    p.add_argument("--blocked-topk", type=int, default=0,
+                   help="opt-in approximate two-stage candidate selection "
+                        "(validate with scripts/validate_blocked_topk.py first); "
+                        "0 = exact (default)")
     args = p.parse_args(argv)
 
-    from yolo_scratch_tpu.models.builder import build_yolo11
+    from yolo_scratch_tpu.models.builder import build_yolo11, dims_from_params
 
     root = Path(args.images)
     exts = {".png", ".jpg", ".jpeg", ".bmp"}
@@ -215,15 +237,33 @@ def main(argv=None):
     if not paths:
         raise SystemExit(f"no images under {root}")
 
-    model = build_yolo11(args.cfg, ch=1, nc=5, scale=args.scale)
-    variables = model.init(
-        jax.random.PRNGKey(0), np.zeros((1, args.imgsz, args.imgsz, 1), np.float32)
-    )
+    # model dims: explicit flags win; otherwise read them off the
+    # checkpoint's params tree so the deploy CLI serves whatever the train
+    # CLI produced (nc=80 COCO models included) without being told
+    ch, nc = args.ch, args.nc
+    loaded_torch = None
     if args.torch_ckpt:
         from yolo_scratch_tpu.utils.torch_import import load_reference_checkpoint
 
-        params, batch_stats = load_reference_checkpoint(args.torch_ckpt)
-        variables = {"params": params, "batch_stats": batch_stats}
+        loaded_torch = load_reference_checkpoint(args.torch_ckpt)
+        if ch is None or nc is None:
+            d_ch, d_nc = dims_from_params(loaded_torch[0])
+            ch, nc = ch or d_ch, nc or d_nc
+    elif args.ckpt and (ch is None or nc is None):
+        from yolo_scratch_tpu.train.checkpoints import CheckpointManager
+
+        raw = CheckpointManager(args.ckpt).peek_raw(args.which)
+        if raw is not None:
+            d_ch, d_nc = dims_from_params(raw["params"])
+            ch, nc = ch or d_ch, nc or d_nc
+    ch, nc = ch or 1, nc or 5  # reference defaults (train_yolo11_cuda.py:554)
+
+    model = build_yolo11(args.cfg, ch=ch, nc=nc, scale=args.scale)
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, args.imgsz, args.imgsz, ch), np.float32)
+    )
+    if loaded_torch is not None:
+        variables = {"params": loaded_torch[0], "batch_stats": loaded_torch[1]}
     elif args.ckpt:
         from yolo_scratch_tpu.train.checkpoints import CheckpointManager
         from yolo_scratch_tpu.train.optim import make_optimizer
@@ -231,15 +271,17 @@ def main(argv=None):
 
         state = create_train_state(
             model, jax.random.PRNGKey(0),
-            np.zeros((1, args.imgsz, args.imgsz, 1), np.float32), make_optimizer(),
+            np.zeros((1, args.imgsz, args.imgsz, ch), np.float32), make_optimizer(),
         )
         mgr = CheckpointManager(args.ckpt)
-        state, _, _, _ = mgr.try_resume(state, name="best")
+        state, _, _, _ = mgr.try_resume(state, name=args.which)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     cfg = PredictorConfig(
         img_size=args.imgsz, batch_size=args.batch, conf_threshold=args.conf,
         iou_threshold=args.iou, letterbox=not args.stretch,
+        class_aware_nms=args.class_aware,
+        blocked_topk=args.blocked_topk,
     )
     predictor = Predictor(model, variables, cfg)
 

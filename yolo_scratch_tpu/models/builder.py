@@ -318,3 +318,21 @@ def build_yolo11(cfg, ch: int = 1, nc: int = 5, scale: str | None = None, verbos
     ``yolo_scratch_tpu.utils.torch_import`` (reference .pt importer).
     """
     return YOLOModel.from_config(cfg, ch=ch, nc=nc, scale=scale, verbose=verbose)
+
+
+def dims_from_params(params) -> "tuple[int, int]":
+    """Read (in_channels, nc) off a builder-model params tree.
+
+    The stem conv kernel is ``model_0/conv/kernel`` (HWIO: in-channels at
+    dim 2) and the Detect head's per-scale class projection is
+    ``model_N/cv3_0_2/kernel`` (1x1, out-dim = nc) for the highest N.
+    Lets CLIs serve a checkpoint without being told --nc/--ch
+    (reference builds hardcode ch=1 nc=5, ``train_yolo11_cuda.py:554``).
+    """
+    ch = int(params["model_0"]["conv"]["kernel"].shape[2])
+    detect = max(
+        (k for k in params if "cv3_0_2" in params[k]),
+        key=lambda k: int(k.split("_")[1]),
+    )
+    nc = int(params[detect]["cv3_0_2"]["kernel"].shape[-1])
+    return ch, nc

@@ -63,13 +63,17 @@ def topk_scores(scores: jnp.ndarray, k: int, blocked: int = 0):
     ``blocked=0``: exact ``lax.top_k`` (sorts all A columns — ~3.3 ms at
     B=128/A=8400/k=512).
 
-    ``blocked=kb>0``: two-stage deploy variant — per-128-lane-block top-kb
-    first (cheap lane-local sorts), then exact top-k over the ~A*kb/128
+    ``blocked=kb>0``: two-stage variant — per-128-lane-block top-kb first
+    (cheap lane-local sorts), then exact top-k over the ~A*kb/128
     survivors. Identical to exact UNLESS a single 128-anchor block (≈1.6
-    rows of the densest FPN grid) holds more than kb of the global top-k;
-    detection workloads put at most a handful of candidates per block, so
-    deploy configs use kb=32 with headroom. Worst-case inputs degrade
-    *selection* only — shapes, cost and downstream semantics are unchanged.
+    rows of the densest FPN grid) holds more than kb of the global top-k.
+    VALIDATION ON TRAINED WEIGHTS FAILED for kb=32: dense crater scenes
+    put up to 68 of the global top-512 in one block and detections
+    changed (scripts/validate_blocked_topk.py), so every shipped call
+    site uses the exact path; ``blocked`` is opt-in for workloads whose
+    block occupancy has been validated with that script. Worst-case
+    inputs degrade *selection* only — shapes, cost and downstream
+    semantics are unchanged.
     """
     B, A = scores.shape
     k = min(k, A)

@@ -142,7 +142,7 @@ def _self_suppress_tile(iou: jnp.ndarray, iou_threshold: float, tile: int):
         return active
 
     def body(state):
-        iou_m, _, total = state
+        iou_m, _, nonzero_rows = state
         # one-hop: boxes currently suppressed by anyone
         suppressed_1 = jnp.max(iou_m, axis=1) > iou_threshold  # (B, T)
         can_suppress = jnp.where(suppressed_1, 0.0, 1.0)[:, :, None]
@@ -150,11 +150,16 @@ def _self_suppress_tile(iou: jnp.ndarray, iou_threshold: float, tile: int):
         # these are definitely greedy-suppressed; zero their rows
         suppressed_2 = jnp.max(can_suppress * iou_m, axis=1) > iou_threshold
         iou_new = jnp.where(suppressed_2[:, :, None], 0.0, iou_m)
-        total_new = jnp.sum(iou_new)
-        return iou_new, total_new < total, total_new
+        # convergence via an INTEGER metric: the only mutation is zeroing
+        # whole rows, so "did anything change" == "did a nonzero row go
+        # zero". An f32 mass-sum can miss a small row's removal to rounding
+        # at large B·T² (ulp ~0.06 near 1e6), terminating the fixpoint early.
+        nz_new = jnp.sum(jnp.any(iou_new > 0.0, axis=2).astype(jnp.int32))
+        return iou_new, nz_new < nonzero_rows, nz_new
 
     iou0 = iou
-    state = (iou0, jnp.asarray(True), jnp.sum(iou0) + 1.0)
+    nz0 = jnp.sum(jnp.any(iou0 > 0.0, axis=2).astype(jnp.int32))
+    state = (iou0, jnp.asarray(True), nz0)
     iou_f, _, _ = jax.lax.while_loop(cond, body, state)
     return jnp.max(iou_f, axis=1) > iou_threshold
 

@@ -122,6 +122,20 @@ class CheckpointManager:
             saved_best = True
         return best_loss, best_map50, saved_best
 
+    def peek_raw(self, name: str = "best") -> Optional[Dict[str, Any]]:
+        """Restore the checkpoint as a raw tree (no target) for shape
+        inspection — lets CLIs auto-detect model dims (nc, in-channels)
+        before building the model. Returns None when unsupported (npz
+        fallback stores no tree structure)."""
+        path = (self.dir / name).resolve()
+        if self._orbax is None or not path.is_dir():
+            return None
+        self.wait()
+        try:
+            return self._orbax.restore(path)
+        except Exception:
+            return None
+
     def try_resume(self, state, name: str = "last"):
         """Restore (state, start_epoch, best_loss, best_map50) if a
         checkpoint exists, else (state, 0, inf, 0.0)."""
