@@ -123,29 +123,71 @@ def test_decoded_inference_parity(torch_and_jax_models):
     )
 
 
-@requires_reference
-def test_param_count_matches_s_scale(reference_path):
-    """Builder width/depth scaling parity at s-scale (n covered above)."""
+def _torch_model_at_scale(reference_path, scale):
     import torch
-    from models.yolo11_model import build_yolo11 as torch_build
-
-    import jax
-    from yolo_scratch_tpu.models.builder import build_yolo11
-
-    torch.manual_seed(0)
-    cfg_path = str(reference_path / "configs/yolo11n_crater.yaml")
     import yaml as _yaml
 
-    with open(cfg_path) as fh:
+    from models.yolo11_model import build_yolo11 as torch_build
+
+    torch.manual_seed(0)
+    with open(str(reference_path / "configs/yolo11n_crater.yaml")) as fh:
         cfg = _yaml.safe_load(fh)
-    cfg["scale"] = "s"
-    tmodel = torch_build(cfg=cfg, ch=1, nc=5)
+    cfg["scale"] = scale
+    return torch_build(cfg=cfg, ch=1, nc=5)
+
+
+@requires_reference
+@pytest.mark.parametrize("scale", ["s", "m", "l", "x"])
+def test_param_count_matches_all_scales(reference_path, scale):
+    """Builder width/depth/max-ch scaling parity across the full scales
+    table (reference ``configs/yolo11n_crater.yaml:10-14``; n covered by
+    the transplant fixture above). l/x exercise the max_channels clamp
+    and the C3k repeat switch (depth multiplier 1.0/1.0/1.5)."""
+    import jax
+
+    from yolo_scratch_tpu.models.builder import build_yolo11
+
+    tmodel = _torch_model_at_scale(reference_path, scale)
     n_torch = sum(p.numel() for p in tmodel.parameters())
 
-    jmodel = build_yolo11(CFG, ch=1, nc=5, scale="s")
+    jmodel = build_yolo11(CFG, ch=1, nc=5, scale=scale)
     variables = jmodel.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 1), np.float32))
     n_flax = sum(np.asarray(x).size for x in jax.tree_util.tree_leaves(variables["params"]))
     assert n_torch - n_flax == 16  # frozen DFL conv
+
+
+@requires_reference
+def test_raw_feature_parity_m_scale(reference_path):
+    """Numeric transplant parity at m-scale (widest golden check beyond n:
+    max_channels clamp active, C3k blocks on). Same protocol as the
+    n-scale fixture: reference weights -> our model, raw Detect maps must
+    agree."""
+    import torch
+
+    import jax
+    from yolo_scratch_tpu.models.builder import build_yolo11
+    from yolo_scratch_tpu.utils.torch_import import convert_reference_state_dict
+
+    tmodel = _torch_model_at_scale(reference_path, "m")
+    tmodel.eval()
+    jmodel = build_yolo11(CFG, ch=1, nc=5, scale="m")
+    params, batch_stats = convert_reference_state_dict(tmodel.state_dict())
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 160, 160, 1).astype(np.float32)
+    # eval mode returns (decoded, raw_feats); raw feats use BN running
+    # stats, matching our train=False path
+    with torch.no_grad():
+        _, tfeats = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    jfeats = jmodel.apply(variables, x, train=False)
+
+    assert len(tfeats) == len(jfeats) == 3
+    for tf, jf in zip(tfeats, jfeats):
+        # torch (B, no, H, W) vs ours (B, H, W, no)
+        np.testing.assert_allclose(
+            tf.numpy().transpose(0, 2, 3, 1), np.asarray(jf), rtol=1e-3, atol=2e-4
+        )
 
 
 def test_forward_shapes_no_reference():
