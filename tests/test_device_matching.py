@@ -84,3 +84,51 @@ def test_trainer_device_matching_equals_host_path():
     host = run(False)
     for k in ("precision", "recall", "mAP50", "mAP50-95"):
         assert np.isclose(dev[k], host[k], rtol=1e-9, atol=1e-12), (k, dev[k], host[k])
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_per_class_device_marks_match_host(seed):
+    """Class-restricted device marks + per_class_from_marks == host
+    evaluate_per_class (which re-runs the greedy matcher per class)."""
+    from yolo_scratch_tpu.ops.matching import batched_tp_marks
+    from yolo_scratch_tpu.utils.metrics import (
+        evaluate_per_class,
+        per_class_from_marks,
+    )
+
+    nc = 6
+    rng = np.random.RandomState(seed + 100)
+    pred_boxes, scores, valid, gt_boxes, gt_mask = _random_case(seed)
+    B, N = scores.shape
+    G = gt_boxes.shape[1]
+    gt_labels = rng.randint(0, nc, (B, G)).astype(np.int32)
+    labels = rng.randint(0, nc, (B, N)).astype(np.int32)
+    # make some predictions share the class of the GT they sit on
+    for b in range(B):
+        for i in range(min(5, int(gt_mask[b].sum()))):
+            labels[b, i] = gt_labels[b, i]
+
+    marks_cls = np.asarray(batched_tp_marks(
+        pred_boxes, valid, gt_boxes, gt_mask,
+        pred_labels=labels, gt_labels=gt_labels))
+    dev = per_class_from_marks(
+        marks_cls, scores, labels, valid, gt_labels, gt_mask, nc)
+
+    preds = [
+        {"boxes": pb[v], "scores": s[v], "labels": l[v]}
+        for pb, s, l, v in zip(pred_boxes, scores, labels, valid)
+    ]
+    targets = [
+        {"boxes": gb[m], "labels": gl[m]}
+        for gb, gl, m in zip(gt_boxes, gt_labels, gt_mask)
+    ]
+    host = evaluate_per_class(preds, targets, nc, conf_threshold=0.0)
+
+    assert set(dev) == set(host)
+    some_nonzero = False
+    for name in host:
+        for k in ("AP50", "AP50-95", "precision", "recall"):
+            assert np.isclose(dev[name][k], host[name][k], rtol=1e-9, atol=1e-12), (
+                name, k, dev[name][k], host[name][k])
+            some_nonzero = some_nonzero or dev[name][k] > 0
+    assert some_nonzero

@@ -14,11 +14,22 @@ Semantics are exactly the reference's greedy matcher: predictions in
 score-descending order each grab their best *unmatched* GT; TP iff that
 best available IoU >= threshold; matching ignores class labels (reference
 quirk, preserved).
+
+Per-class AP (our extension; the reference evaluator is class-agnostic)
+uses the same kernel with ``pred_labels``/``gt_labels`` supplied: IoU is
+masked to same-class pairs, which computes the class-restricted greedy
+marks for EVERY class in one pass — a class-c prediction can only claim a
+class-c GT, and the score order of class-c predictions is a subsequence
+of the global order, so the result per class equals running the greedy
+matcher on that class alone. The host then accumulates nc small AP tails
+(``utils.metrics.per_class_from_marks``) instead of re-running a full
+matcher per class.
 """
 
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,10 +46,14 @@ def tp_marks_single(
     gt_boxes: jnp.ndarray,     # (G, 4) xyxy (same coord space as preds)
     gt_mask: jnp.ndarray,      # (G,) bool
     thresholds: jnp.ndarray,   # (T,) f32
+    pred_labels: Optional[jnp.ndarray] = None,  # (N,) int — class-restricted
+    gt_labels: Optional[jnp.ndarray] = None,    # (G,) int    matching when set
 ) -> jnp.ndarray:
     """Greedy TP marks for one image -> (T, N) bool."""
     iou = pairwise_iou(pred_boxes, gt_boxes)  # (N, G)
     iou = jnp.where(gt_mask[None, :], iou, -1.0)
+    if pred_labels is not None and gt_labels is not None:
+        iou = jnp.where(pred_labels[:, None] == gt_labels[None, :], iou, -1.0)
     n, g = iou.shape
     t = thresholds.shape[0]
 
@@ -69,9 +84,16 @@ def batched_tp_marks(
     gt_boxes: jnp.ndarray,     # (B, G, 4) xyxy
     gt_mask: jnp.ndarray,      # (B, G) bool
     thresholds: tuple = DEFAULT_THRESHOLDS,
+    pred_labels: Optional[jnp.ndarray] = None,  # (B, N) int
+    gt_labels: Optional[jnp.ndarray] = None,    # (B, G) int
 ) -> jnp.ndarray:
-    """Batched greedy TP marks -> (B, T, N) bool."""
+    """Batched greedy TP marks -> (B, T, N) bool. With labels supplied the
+    marks are class-restricted (see module docstring)."""
     th = jnp.asarray(thresholds, jnp.float32)
+    if pred_labels is not None and gt_labels is not None:
+        return jax.vmap(
+            lambda pb, pv, gb, gm, pl, gl: tp_marks_single(pb, pv, gb, gm, th, pl, gl)
+        )(pred_boxes, pred_valid, gt_boxes, gt_mask, pred_labels, gt_labels)
     return jax.vmap(lambda pb, pv, gb, gm: tp_marks_single(pb, pv, gb, gm, th))(
         pred_boxes, pred_valid, gt_boxes, gt_mask
     )

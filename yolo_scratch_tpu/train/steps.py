@@ -111,7 +111,7 @@ def make_train_step(model, loss_cfg: DetectionLossConfig, donate: bool = True):
 def make_eval_step(model, loss_cfg: DetectionLossConfig = None, conf_threshold: float = 0.25,
                    iou_threshold: float = 0.45, max_det: int = 300, pre_nms_topk: int = 1000,
                    use_ema: bool = False, loss_fn=None, decode_fn=None,
-                   match_thresholds=None):
+                   match_thresholds=None, per_class: bool = False):
     """Returns jitted ``eval_step(state, batch) -> (metrics, detections)``.
 
     Detections are fixed-shape (B, max_det, 6) rows of
@@ -124,6 +124,11 @@ def make_eval_step(model, loss_cfg: DetectionLossConfig = None, conf_threshold: 
     (``ops.matching``) and returns ``(metrics, detections, tp_marks)`` with
     tp_marks (B, T, max_det) bool — the host then only accumulates AP
     (``utils.metrics.metrics_from_marks``).
+
+    ``per_class``: with ``match_thresholds`` set, additionally return
+    class-restricted marks (same shape) as a 4th element — one device pass
+    serves every class's AP (``utils.metrics.per_class_from_marks``)
+    instead of re-running a matcher per class.
     """
     from yolo_scratch_tpu.ops.decode import postprocess, postprocess_from_feats
 
@@ -171,6 +176,13 @@ def make_eval_step(model, loss_cfg: DetectionLossConfig = None, conf_threshold: 
                 boxes, valid, batch["gt_bboxes"], batch["gt_mask"],
                 thresholds=tuple(match_thresholds),
             )
+            if per_class:
+                marks_cls = batched_tp_marks(
+                    boxes, valid, batch["gt_bboxes"], batch["gt_mask"],
+                    thresholds=tuple(match_thresholds),
+                    pred_labels=labels, gt_labels=batch["gt_labels"],
+                )
+                return metrics, (boxes, scores, labels, valid), marks, marks_cls
             return metrics, (boxes, scores, labels, valid), marks
         return metrics, (boxes, scores, labels, valid)
 

@@ -176,14 +176,20 @@ def metrics_from_marks(
     tp_marks = np.asarray(tp_marks)
     scores = np.asarray(scores, np.float32)
     valid = np.asarray(valid, bool)
-    _, T, _ = tp_marks.shape
     flat_scores = scores[valid]                    # (K,)
     flat_tp = tp_marks.transpose(0, 2, 1)[valid]   # (K, T)
-    if flat_scores.size == 0 or n_gt == 0:
-        return {"precision": 0.0, "recall": 0.0, "mAP50": 0.0, "mAP50-95": 0.0}
+    return _ap_tail(flat_tp, flat_scores, n_gt)
 
-    order = np.argsort(-flat_scores, kind="stable")
-    flags = flat_tp[order]                         # (K, T)
+
+def _ap_tail(flags: np.ndarray, scores: np.ndarray, n_gt: int) -> Dict[str, float]:
+    """Shared AP/P/R accumulation: flags (K, T) bool in any order, scores
+    (K,); one stable score-descending sort, per-threshold cumsum ->
+    envelope AP. Threshold index 0 == IoU 0.5."""
+    if scores.size == 0 or n_gt == 0:
+        return {"precision": 0.0, "recall": 0.0, "mAP50": 0.0, "mAP50-95": 0.0}
+    order = np.argsort(-scores, kind="stable")
+    flags = flags[order]
+    T = flags.shape[1]
     tp_cum = np.cumsum(flags, axis=0, dtype=np.float64)
     fp_cum = np.cumsum(~flags, axis=0, dtype=np.float64)
     precisions = tp_cum / (tp_cum + fp_cum + 1e-6)
@@ -207,6 +213,48 @@ def metrics_from_marks(
         "mAP50": aps[0] if aps else 0.0,
         "mAP50-95": float(np.mean(aps)) if aps else 0.0,
     }
+
+
+def per_class_from_marks(
+    tp_marks_cls: np.ndarray,  # (B, T, N) bool — CLASS-RESTRICTED device marks
+    scores: np.ndarray,        # (B, N)
+    labels: np.ndarray,        # (B, N) int detection labels
+    valid: np.ndarray,         # (B, N) bool
+    gt_labels: np.ndarray,     # (B, G) int
+    gt_mask: np.ndarray,       # (B, G) bool
+    num_classes: int,
+    class_names: Optional[Sequence[str]] = None,
+) -> Dict[str, Dict[str, float]]:
+    """Per-class AP from ONE device matching pass.
+
+    ``tp_marks_cls`` must come from ``ops.matching.batched_tp_marks`` with
+    labels supplied (class-restricted matching). Equal to
+    ``evaluate_per_class`` (which re-runs the host greedy matcher per
+    class, O(nc x full matcher)) because a class's predictions keep their
+    relative score order and can only claim that class's GTs; here the
+    host does nc cheap cumsum tails instead.
+    """
+    tp_marks_cls = np.asarray(tp_marks_cls)
+    scores = np.asarray(scores, np.float32)
+    labels = np.asarray(labels)
+    valid = np.asarray(valid, bool)
+    gt_labels = np.asarray(gt_labels)
+    gt_mask = np.asarray(gt_mask, bool)
+
+    flat_scores = scores[valid]
+    flat_labels = labels[valid]
+    flat_tp = tp_marks_cls.transpose(0, 2, 1)[valid]  # (K, T)
+    gt_flat = gt_labels[gt_mask]
+
+    out: Dict[str, Dict[str, float]] = {}
+    for c in range(num_classes):
+        sel = flat_labels == c
+        n_gt_c = int((gt_flat == c).sum())
+        m = _ap_tail(flat_tp[sel], flat_scores[sel], n_gt_c)
+        name = class_names[c] if class_names else str(c)
+        out[name] = {"AP50": m["mAP50"], "AP50-95": m["mAP50-95"],
+                     "precision": m["precision"], "recall": m["recall"]}
+    return out
 
 
 def evaluate_per_class(

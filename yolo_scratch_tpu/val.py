@@ -4,6 +4,14 @@ The reference has no eval-only entry point (validation lives inside the
 trainer); this gives users a direct way to score a model: COCO-style
 P/R/mAP50/mAP50-95 plus the NASA-CDA suite (CDAquality, dGA-NMS optional).
 
+TP/FP matching runs on device inside the jitted eval step
+(``ops/matching.py``) — including per-class marks, so ``--per-class`` at
+nc=80 costs one extra device pass, not 80 host matcher re-runs. The host
+keeps only AP accumulation. ``--host-match`` forces the reference-style
+numpy greedy matcher (``utils.metrics.evaluate_detections``); ``--cda``
+always collects host-side detection lists (the CDA scorer consumes
+boxes).
+
 Run: ``python -m yolo_scratch_tpu.val --data <dir> --ckpt <dir> [--cda]``.
 """
 
@@ -39,11 +47,14 @@ def main(argv=None):
     p.add_argument("--cda", action="store_true", help="also compute the CDA scorer suite")
     p.add_argument("--per-class", action="store_true", help="per-class AP breakdown")
     p.add_argument("--ema", action="store_true", help="evaluate EMA weights")
+    p.add_argument("--host-match", action="store_true",
+                   help="reference-style host greedy matcher instead of device marks")
     args = p.parse_args(argv)
 
     from yolo_scratch_tpu.data.loader import Loader
     from yolo_scratch_tpu.losses.v8_loss import DetectionLossConfig
     from yolo_scratch_tpu.models.builder import build_yolo11
+    from yolo_scratch_tpu.ops.matching import DEFAULT_THRESHOLDS
     from yolo_scratch_tpu.train.cli import make_datasets
     from yolo_scratch_tpu.train.optim import make_optimizer
     from yolo_scratch_tpu.train.state import create_train_state
@@ -52,6 +63,9 @@ def main(argv=None):
         detections_to_lists,
         evaluate_cda_full,
         evaluate_detections,
+        evaluate_per_class,
+        metrics_from_marks,
+        per_class_from_marks,
         targets_to_lists,
     )
 
@@ -74,34 +88,73 @@ def main(argv=None):
 
         state, _, _, _ = CheckpointManager(args.ckpt).try_resume(state, name=args.which)
 
+    device_match = not args.host_match
+    need_lists = args.cda or args.host_match
     loss_cfg = DetectionLossConfig(nc=model.nc, strides=model.strides)
     step = make_eval_step(
-        model, loss_cfg, conf_threshold=args.conf, iou_threshold=args.iou, use_ema=args.ema
+        model, loss_cfg, conf_threshold=args.conf, iou_threshold=args.iou,
+        use_ema=args.ema,
+        match_thresholds=DEFAULT_THRESHOLDS if device_match else None,
+        per_class=args.per_class and device_match,
     )
 
     all_preds, all_targets = [], []
+    marks, marks_cls, det_scores, det_labels, det_valid = [], [], [], [], []
+    gt_label_list, gt_mask_list = [], []
+    n_gt = 0
     losses = []
     for i, batch in enumerate(loader):
         if args.max_batches is not None and i >= args.max_batches:
             break
-        metrics, (boxes, scores, labels, valid) = step(state, batch)
+        out = step(state, batch)
+        metrics, (boxes, scores, labels, valid) = out[0], out[1]
         losses.append(float(metrics["loss"]))
-        preds = detections_to_lists(boxes, scores, labels, valid)
-        targets = targets_to_lists(batch["gt_labels"], batch["gt_bboxes"], batch["gt_mask"])
-        # drop wrap-padding duplicates (score each image exactly once)
-        sv = np.asarray(batch.get("sample_valid", np.ones(len(preds), bool)))
-        all_preds.extend(pr for pr, ok in zip(preds, sv) if ok)
-        all_targets.extend(t for t, ok in zip(targets, sv) if ok)
+        sv = np.asarray(batch.get("sample_valid", np.ones(batch["img"].shape[0], bool)))
+        if device_match:
+            marks.append(np.asarray(out[2])[sv])
+            if args.per_class:
+                marks_cls.append(np.asarray(out[3])[sv])
+            det_scores.append(np.asarray(scores)[sv])
+            det_labels.append(np.asarray(labels)[sv])
+            det_valid.append(np.asarray(valid)[sv])
+            gt_label_list.append(np.asarray(batch["gt_labels"])[sv])
+            gt_mask_list.append(np.asarray(batch["gt_mask"])[sv])
+            n_gt += int(np.asarray(batch["gt_mask"])[sv].sum())
+        if need_lists:
+            preds = detections_to_lists(boxes, scores, labels, valid)
+            targets = targets_to_lists(
+                batch["gt_labels"], batch["gt_bboxes"], batch["gt_mask"])
+            all_preds.extend(pr for pr, ok in zip(preds, sv) if ok)
+            all_targets.extend(t for t, ok in zip(targets, sv) if ok)
 
     out = {"loss": float(np.mean(losses)) if losses else float("nan")}
-    out.update(evaluate_detections(all_preds, all_targets, conf_threshold=args.conf))
+    class_names = getattr(ds, "class_names", None)
+    if device_match:
+        if marks:
+            out.update(metrics_from_marks(
+                np.concatenate(marks), np.concatenate(det_scores),
+                np.concatenate(det_valid), n_gt))
+        else:
+            out.update({"precision": 0.0, "recall": 0.0, "mAP50": 0.0, "mAP50-95": 0.0})
+        if args.per_class and marks_cls:
+            per = per_class_from_marks(
+                np.concatenate(marks_cls), np.concatenate(det_scores),
+                np.concatenate(det_labels), np.concatenate(det_valid),
+                np.concatenate(gt_label_list), np.concatenate(gt_mask_list),
+                nc, class_names=class_names)
+            out.update({f"class/{name}/{k}": v for name, d in per.items()
+                        for k, v in d.items()})
+    else:
+        out.update(evaluate_detections(
+            all_preds, all_targets, conf_threshold=args.conf))
+        if args.per_class:
+            per = evaluate_per_class(
+                all_preds, all_targets, nc, conf_threshold=args.conf,
+                class_names=class_names)
+            out.update({f"class/{name}/{k}": v for name, d in per.items()
+                        for k, v in d.items()})
     if args.cda:
         out.update({f"cda/{k}": v for k, v in evaluate_cda_full(all_preds, all_targets).items()})
-    if args.per_class:
-        from yolo_scratch_tpu.utils.metrics import evaluate_per_class
-
-        per = evaluate_per_class(all_preds, all_targets, nc, conf_threshold=args.conf)
-        out.update({f"class/{name}/{k}": v for name, d in per.items() for k, v in d.items()})
     print(json.dumps(out))
     return out
 
