@@ -75,3 +75,34 @@ def make_global_mesh(axis_names: Sequence[str] = ("dp",)) -> Mesh:
     if len(axis_names) != 1:
         raise ValueError("only 1-D (dp) global meshes are built today")
     return Mesh(np.array(jax.devices()), axis_names=tuple(axis_names))
+
+
+def barrier(mesh: Optional[Mesh] = None) -> None:
+    """Establish the cross-process collective context with a trivial psum.
+
+    Gloo (the CPU/DCN transport standing in for a real pod's fabric in
+    tests) gives peers ~30 s to join a communicator the first time a
+    collective RUNS. The first real collective is normally the first
+    train step — reached minutes apart when processes compile big
+    programs under host contention, which kills the job with
+    "Gloo context initialization failed: Connect timeout". Running one
+    tiny all-reduce right after ``initialize()`` creates the communicator
+    while all processes are still in lockstep (compile cost: seconds),
+    and later heavy collectives reuse it. Also serves as a fail-fast
+    connectivity check on real pods.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if not is_multiprocess():
+        return
+    if mesh is None:
+        mesh = make_global_mesh()
+    sh = NamedSharding(mesh, P("dp"))
+    local = np.ones((len(mesh.local_devices),), np.float32)
+    x = jax.make_array_from_process_local_data(sh, local)
+    out = jax.jit(
+        lambda a: a.sum(), out_shardings=NamedSharding(mesh, P())
+    )(x)
+    n = float(np.asarray(out))
+    expected = float(len(list(mesh.devices.flat)))
+    assert n == expected, (n, expected)

@@ -49,6 +49,20 @@ class CheckpointManager:
 
     # -- low-level ---------------------------------------------------------
 
+    @staticmethod
+    def _is_writer() -> bool:
+        """Multi-host: the train state is REPLICATED across processes
+        (dp-only parallelism), so process 0's copy is the whole state.
+        Plain-file writes (meta json, npz fallback) happen on process 0
+        only; orbax saves are COLLECTIVE — its multihost protocol
+        barriers all processes (``sync_global_processes``) and writes
+        from the primary — so every process must call ``save``. Every
+        process may read (shared filesystem; the reference's resume
+        semantics, ``train_yolo11_cuda.py:576-587``)."""
+        import jax
+
+        return jax.process_index() == 0
+
     def wait(self) -> None:
         if self._orbax is not None:
             self._orbax.wait_until_finished()
@@ -56,11 +70,13 @@ class CheckpointManager:
     def _save_tree(self, name: str, tree: Dict[str, Any]) -> None:
         path = (self.dir / name).resolve()
         if self._orbax is not None:
+            # collective on multi-host: all processes call; orbax writes
+            # from the primary process only
             self.wait()  # previous async save must land before overwriting
             self._orbax.save(path, _to_numpy_tree(tree), force=True)
             if not self.async_save:
                 self._orbax.wait_until_finished()
-        else:
+        elif self._is_writer():
             flat, treedef = jax.tree_util.tree_flatten(_to_numpy_tree(tree))
             np.savez(str(path) + ".npz", *flat)
             (self.dir / (name + ".treedef.json")).write_text(str(treedef))
@@ -103,8 +119,10 @@ class CheckpointManager:
             "best_loss": best_loss,
             "best_mAP50": best_map50,
         }
+        writer = self._is_writer()
         self._save_tree("last", tree)
-        (self.dir / "last.meta.json").write_text(json.dumps(meta))
+        if writer:
+            (self.dir / "last.meta.json").write_text(json.dumps(meta))
 
         saved_best = False
         if "mAP50" in val_metrics:
@@ -112,13 +130,15 @@ class CheckpointManager:
                 best_map50 = float(val_metrics["mAP50"])
                 meta["best_mAP50"] = best_map50
                 self._save_tree("best", tree)
-                (self.dir / "best.meta.json").write_text(json.dumps(meta))
+                if writer:
+                    (self.dir / "best.meta.json").write_text(json.dumps(meta))
                 saved_best = True
         elif val_metrics.get("loss", float("inf")) < best_loss:
             best_loss = float(val_metrics["loss"])
             meta["best_loss"] = best_loss
             self._save_tree("best", tree)
-            (self.dir / "best.meta.json").write_text(json.dumps(meta))
+            if writer:
+                (self.dir / "best.meta.json").write_text(json.dumps(meta))
             saved_best = True
         return best_loss, best_map50, saved_best
 

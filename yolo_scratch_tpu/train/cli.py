@@ -119,6 +119,7 @@ def main(argv=None):
         from yolo_scratch_tpu.parallel import distributed as D
 
         D.initialize(args.coordinator, args.nproc, args.pid)
+        D.barrier()  # establish the collective context before heavy compiles
         print(f"multihost: process {_jax.process_index()}/{_jax.process_count()}, "
               f"{len(_jax.devices())} global devices")
 

@@ -220,9 +220,18 @@ class Trainer:
     def resume(self) -> bool:
         if self.ckpt is None:
             return False
-        self.state, self.start_epoch, self.best_loss, self.best_map50 = self.ckpt.try_resume(
+        state, self.start_epoch, self.best_loss, self.best_map50 = self.ckpt.try_resume(
             self.state
         )
+        if self.start_epoch > 0 and self.mesh is not None:
+            # try_resume returns host numpy trees; the sharded train step
+            # requires mesh-placed (globally replicated) arrays — on a
+            # multi-process mesh jit cannot auto-place host arrays, so
+            # re-replicate explicitly (same as __init__)
+            from yolo_scratch_tpu.parallel.mesh import replicate
+
+            state = replicate(jax.device_get(state), self.mesh)
+        self.state = state
         return self.start_epoch > 0
 
     def _place(self, batch: Dict[str, np.ndarray]):
