@@ -36,14 +36,19 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-H2H_ROOT = Path("/tmp/h2h")
+import os
+
+# Env-parameterized so the same harness runs the full-resolution variant
+# (H2H_ROOT=/tmp/h2h640 H2H_IMGSZ=640 H2H_EPOCHS=30 ... -> H2H640.json):
+H2H_ROOT = Path(os.environ.get("H2H_ROOT", "/tmp/h2h"))
 DATA_DIR = H2H_ROOT / "data"
 REF_RUN = H2H_ROOT / "ref_run"
 TPU_RUN = H2H_ROOT / "tpu_run"
 
-EPOCHS = 60
-BATCH = 8
-IMGSZ = 320
+EPOCHS = int(os.environ.get("H2H_EPOCHS", "60"))
+BATCH = int(os.environ.get("H2H_BATCH", "8"))
+IMGSZ = int(os.environ.get("H2H_IMGSZ", "320"))
+OUT_JSON = os.environ.get("H2H_OUT", "H2H.json")
 LR = 1e-3
 WD = 5e-4
 VAL_SPLIT = 0.2
@@ -274,7 +279,7 @@ def cmd_report(args):
     # favor. North-star holds on the stricter (more negative) of the two.
     delta_5095_final = ours_final.get("mAP50-95", 0.0) - ref_val.get("mAP50-95", 0.0)
     summary = {
-        "dataset": "generated crater set (scripts/gen_crater_synth.py, seed 0, 150 imgs @320)",
+        "dataset": f"generated crater set (scripts/gen_crater_synth.py, {DATA_DIR}, @{IMGSZ})",
         "split": "reference torch.randperm(seed=42), identical for both",
         "recipe": f"AdamW lr {LR} wd {WD}, cosine+3 warmup, clip 10, batch {BATCH}, "
                   f"{EPOCHS} epochs, no augmentation, no EMA",
@@ -294,7 +299,7 @@ def cmd_report(args):
         "north_star_within_0p3": bool(min(delta_5095, delta_5095_final) >= -0.3),
         "transplant": transplant,
     }
-    (repo / "H2H.json").write_text(json.dumps(summary, indent=2))
+    (repo / OUT_JSON).write_text(json.dumps(summary, indent=2))
     print(json.dumps(summary, indent=2))
 
 

@@ -53,18 +53,21 @@ def _conv3x3_chunked(xpad, w_ref, b_ref, H, W, C, Co, write, resid=None):
     ``write(c, rows)`` stores each finished (CH, W, Co) chunk; ``resid``
     optionally returns the residual rows to add before the store.
     """
-    w_taps = w_ref[:].reshape(3, 3 * C, Co)  # (dy, dx*C, Co)
+    # (dx, dy*C, Co): the dy taps stack on the K axis (leading-dim slices
+    # of the slab are layout-identical, so their concat is legal); the dx
+    # taps become three sublane-shifted matmul inputs
+    w_taps = jnp.transpose(w_ref[:], (1, 0, 2, 3)).reshape(3, 3 * C, Co)
     bias = b_ref[:][None, None, :]
     ch = _row_chunk(H)
     for c in range(0, H, ch):
         rows = min(ch, H - c)
         taps = jnp.concatenate(
-            [xpad[c : c + rows + 2, dx : dx + W, :] for dx in range(3)], axis=-1
-        )  # (rows+2, W, 3C)
+            [xpad[c + dy : c + dy + rows, :, :] for dy in range(3)], axis=-1
+        )  # (rows, W+2, 3C)
         acc = None
-        for dy in range(3):
+        for dx in range(3):
             term = jax.lax.dot_general(
-                taps[dy : dy + rows], w_taps[dy],
+                taps[:, dx : dx + W, :], w_taps[dx],
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
