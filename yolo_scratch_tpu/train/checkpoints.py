@@ -170,12 +170,31 @@ class CheckpointManager:
             "ema_params": state.ema_params if state.ema_params is not None else {},
             "step": state.step,
         }
-        tree = self._restore_tree(name, target)
+        try:
+            tree = self._restore_tree(name, target)
+            opt_state = tree["opt_state"]
+        except Exception:
+            # optimizer-format drift (e.g. optax.flatten changed the
+            # opt_state structure): salvage weights/stats/step from the raw
+            # tree and keep a FRESH optimizer state. Eval paths never read
+            # opt_state; a true training resume restarts its moments.
+            raw = self.peek_raw(name)
+            if raw is None:
+                raise
+            import warnings
+
+            warnings.warn(
+                f"checkpoint '{name}': opt_state structure mismatch — "
+                "restored weights/stats only, optimizer state reset",
+                stacklevel=2,
+            )
+            tree = raw
+            opt_state = state.opt_state
         state = state.replace(
             params=tree["params"],
             batch_stats=tree["batch_stats"],
-            opt_state=tree["opt_state"],
-            ema_params=tree["ema_params"] if state.ema_params is not None else None,
+            opt_state=opt_state,
+            ema_params=(tree["ema_params"] if state.ema_params is not None else None),
             step=jax.numpy.asarray(tree["step"]),
         )
         return (

@@ -42,9 +42,20 @@ def make_optimizer(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    flatten: bool = True,
 ) -> optax.GradientTransformation:
-    """clip-by-global-norm -> AdamW (torch-default betas/eps)."""
-    return optax.chain(
+    """clip-by-global-norm -> AdamW (torch-default betas/eps).
+
+    ``flatten=True`` wraps the chain in ``optax.flatten``: the update runs
+    on ONE concatenated parameter vector instead of ~300 small leaves.
+    Numerically identity, but on TPU the per-leaf form compiled to
+    hundreds of tiny param-shaped kernels whose fixed overheads dominated
+    the train step — the device trace measured 39.9 ms of 87.9 (45%) in
+    param/scalar-shaped ops at YOLO11n B=64 (docs/PERF.md round-3 train
+    section). Flat AdamW is a handful of (N,)-vector ops instead.
+    """
+    tx = optax.chain(
         optax.clip_by_global_norm(clip_norm),
         optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay),
     )
+    return optax.flatten(tx) if flatten else tx
