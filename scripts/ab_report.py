@@ -48,30 +48,26 @@ def main():
               f"{a.get('val/mAP50-95', float('nan')):11.4f} "
               f"{b.get('val/mAP50-95', float('nan')):12.4f}")
 
-    ia, ba = best(ra)
-    ib, bb = best(rb)
-    summary = {
-        "baseline": {
-            "run": args.a, "epochs": len(ra),
-            "best_epoch": ia + 1,
-            "best_mAP50": ba.get("val/mAP50"),
-            "best_mAP50_95": ba.get("val/mAP50-95"),
-            "final_mAP50": ra[-1].get("val/mAP50"),
-            "final_mAP50_95": ra[-1].get("val/mAP50-95"),
-        },
-        "recipe": {
-            "run": args.b, "epochs": len(rb),
-            "best_epoch": ib + 1,
-            "best_mAP50": bb.get("val/mAP50"),
-            "best_mAP50_95": bb.get("val/mAP50-95"),
-            "final_mAP50": rb[-1].get("val/mAP50"),
-            "final_mAP50_95": rb[-1].get("val/mAP50-95"),
-        },
-    }
-    summary["delta_best_mAP50"] = round(
-        summary["recipe"]["best_mAP50"] - summary["baseline"]["best_mAP50"], 4)
-    summary["delta_best_mAP50_95"] = round(
-        summary["recipe"]["best_mAP50_95"] - summary["baseline"]["best_mAP50_95"], 4)
+    def side(run, rows):
+        i50, r50 = best(rows, "val/mAP50")
+        i95, r95 = best(rows, "val/mAP50-95")
+        return {
+            "run": run, "epochs": len(rows),
+            # best-by-metric: each metric's own best epoch (the checkpoint
+            # policy gates `best` on mAP50; both are reported so neither
+            # metric is scored at the other's favored epoch)
+            "best_mAP50": r50.get("val/mAP50"),
+            "best_mAP50_epoch": i50 + 1,
+            "best_mAP50_95": r95.get("val/mAP50-95"),
+            "best_mAP50_95_epoch": i95 + 1,
+            "final_mAP50": rows[-1].get("val/mAP50"),
+            "final_mAP50_95": rows[-1].get("val/mAP50-95"),
+        }
+
+    summary = {"baseline": side(args.a, ra), "recipe": side(args.b, rb)}
+    for key in ("best_mAP50", "best_mAP50_95", "final_mAP50", "final_mAP50_95"):
+        summary[f"delta_{key}"] = round(
+            summary["recipe"][key] - summary["baseline"][key], 4)
     Path(args.out).write_text(json.dumps(summary, indent=2))
     print(json.dumps(summary, indent=2))
 
