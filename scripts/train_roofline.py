@@ -52,7 +52,13 @@ def classify(name: str, dims: tuple) -> str:
     for d in dims:
         n *= d
     if n <= 1 << 22:
-        return "params/optimizer/scalars"
+        # CAVEAT: output-shape classification CANNOT split backward
+        # weight-gradient reductions (param-shaped outputs over
+        # activation-sized inputs — HBM-bound bwd work) from true
+        # optimizer/EMA kernels. scripts/probe_opt_flat.py measures the
+        # split directly: at YOLO11n B=64 this whole bucket is ~40 ms of
+        # which only ~5.5 ms is the optimizer (grads-only control).
+        return "param-shaped (wgrad+opt)"
     return "other"
 
 

@@ -190,11 +190,23 @@ class CheckpointManager:
             )
             tree = raw
             opt_state = state.opt_state
+        ema = tree["ema_params"] if state.ema_params is not None else None
+        if ema is not None and isinstance(ema, dict) != isinstance(state.ema_params, dict):
+            # EMA storage-format drift: per-leaf tree checkpoint into a
+            # flat-EMA state (ravel), or flat checkpoint into a per-leaf
+            # state (unravel via the params template) — see TrainState.flat_opt
+            from jax.flatten_util import ravel_pytree
+
+            if isinstance(ema, dict):
+                ema, _ = ravel_pytree(ema)
+            else:
+                _, unravel = ravel_pytree(state.params)
+                ema = unravel(jax.numpy.asarray(ema))
         state = state.replace(
             params=tree["params"],
             batch_stats=tree["batch_stats"],
             opt_state=opt_state,
-            ema_params=(tree["ema_params"] if state.ema_params is not None else None),
+            ema_params=ema,
             step=jax.numpy.asarray(tree["step"]),
         )
         return (

@@ -42,17 +42,19 @@ def make_optimizer(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
-    flatten: bool = True,
+    flatten: bool = False,
 ) -> optax.GradientTransformation:
     """clip-by-global-norm -> AdamW (torch-default betas/eps).
 
-    ``flatten=True`` wraps the chain in ``optax.flatten``: the update runs
-    on ONE concatenated parameter vector instead of ~300 small leaves.
-    Numerically identity, but on TPU the per-leaf form compiled to
-    hundreds of tiny param-shaped kernels whose fixed overheads dominated
-    the train step — the device trace measured 39.9 ms of 87.9 (45%) in
-    param/scalar-shaped ops at YOLO11n B=64 (docs/PERF.md round-3 train
-    section). Flat AdamW is a handful of (N,)-vector ops instead.
+    Per-leaf update math is the default and the measured-faster form: the
+    full-step A/B (``scripts/probe_opt_flat.py``) puts the whole per-leaf
+    clip+AdamW+EMA at 5.5 ms of a 92 ms YOLO11n B=64 step, vs 6.2 ms for
+    the flat (N,)-master variant — the optimizer is ~6% of the step, not
+    the 45% the round-2 trace bucket suggested (that bucket was backward
+    weight-gradient reductions; docs/PERF.md round-3 train section).
+    ``flatten=True`` wraps the chain in ``optax.flatten`` (flat update
+    math with per-leaf state at the TrainState level); the chain state
+    pytree is identical either way, so checkpoints interoperate.
     """
     tx = optax.chain(
         optax.clip_by_global_norm(clip_norm),

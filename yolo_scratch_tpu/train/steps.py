@@ -139,7 +139,12 @@ def make_eval_step(model, loss_cfg: DetectionLossConfig = None, conf_threshold: 
         decode_fn = lambda feats: model.decode(feats)  # (B, A, 4+nc) xywh px + probs
 
     def step(state: TrainState, batch: Dict[str, Any]):
-        params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
+        if use_ema and state.ema_params is not None:
+            from yolo_scratch_tpu.train.state import ema_as_tree
+
+            params = ema_as_tree(state.ema_params, state.params)  # flat (N,) -> tree
+        else:
+            params = state.params
         feats = model.apply(
             {"params": params, "batch_stats": state.batch_stats}, batch["img"], train=False
         )
