@@ -39,6 +39,7 @@ SHAPES = [
     ("p4_s_128", 40, 128, 128),
     ("p5_s_256", 20, 256, 256),
     ("p4_m_256", 40, 256, 256),
+    ("p5_l_512", 20, 512, 512),  # widest bottleneck in the scales table
 ]
 
 
