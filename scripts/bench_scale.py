@@ -1,7 +1,7 @@
 """End-to-end inference throughput for any YOLO11 scale on the real chip.
 
 Same deploy contract as bench.py (u8 input, bf16, BN folded, fused
-select-then-decode postprocess, blocked top-k), parameterized by scale.
+select-then-decode postprocess, exact top-k), parameterized by scale.
 
 Usage: python scripts/bench_scale.py [--scale s] [--batch 64]
 """
