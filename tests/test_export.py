@@ -1,0 +1,87 @@
+"""jax.export serving artifacts: roundtrip numerics + shape contract.
+
+The deploy graph (Predictor._infer: u8 -> boxes/scores/labels/valid)
+exported with weights-as-constants, serialized, deserialized, and run —
+must match the live Predictor exactly. Runs on the forced-CPU backend
+(conftest), where the Pallas NMS uses interpret mode; the xla-impl case
+covers the pure stable-HLO artifact path the export CLI offers.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from yolo_scratch_tpu.export import export_predictor, load_artifact, save_artifact
+from yolo_scratch_tpu.infer import Predictor, PredictorConfig
+from yolo_scratch_tpu.models.builder import build_yolo11
+
+CFG = "yolo_scratch_tpu/configs/yolo11_crater.yaml"
+IMGSZ = 160
+
+
+def _tiny_predictor(nms_impl="pallas", class_aware=False, u8=True):
+    model = build_yolo11(CFG, ch=1, nc=5, scale="n")
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, IMGSZ, IMGSZ, 1), np.float32)
+    )
+    cfg = PredictorConfig(
+        img_size=IMGSZ, batch_size=2, conf_threshold=0.001, max_det=32,
+        pre_nms_topk=128, nms_impl=nms_impl, class_aware_nms=class_aware,
+        u8_transfer=u8,
+    )
+    return Predictor(model, variables, cfg)
+
+
+def _rand_batch(u8=True):
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 256, size=(2, IMGSZ, IMGSZ, 1), dtype=np.uint8)
+    return x if u8 else (x.astype(np.float32) / 255.0)
+
+
+@pytest.mark.parametrize("nms_impl,class_aware", [("pallas", False), ("xla", True)])
+def test_export_roundtrip_matches_live(tmp_path, nms_impl, class_aware):
+    pred = _tiny_predictor(nms_impl=nms_impl, class_aware=class_aware)
+    x = _rand_batch()
+    live = [np.asarray(o) for o in pred._infer(pred.variables, x)]
+    assert live[3].sum() > 0, "random-init model at conf=0.001 must detect something"
+
+    exported = export_predictor(pred)
+    path = str(tmp_path / "model.jaxexp")
+    nbytes = save_artifact(exported, path)
+    assert nbytes > 1000
+
+    art = load_artifact(path)
+    (aval,) = art.in_avals
+    assert tuple(aval.shape) == (2, IMGSZ, IMGSZ, 1) and aval.dtype == np.uint8
+    got = [np.asarray(o) for o in jax.jit(art.call)(x)]
+
+    np.testing.assert_allclose(got[0], live[0], rtol=0, atol=1e-6)  # boxes
+    np.testing.assert_allclose(got[1], live[1], rtol=0, atol=1e-6)  # scores
+    np.testing.assert_array_equal(got[2], live[2])  # labels
+    np.testing.assert_array_equal(got[3], live[3])  # valid
+
+
+def test_export_enforces_input_shape(tmp_path):
+    pred = _tiny_predictor()
+    exported = export_predictor(pred, batch_size=4)
+    path = str(tmp_path / "model.jaxexp")
+    save_artifact(exported, path)
+    art = load_artifact(path)
+    assert tuple(art.in_avals[0].shape) == (4, IMGSZ, IMGSZ, 1)
+    with pytest.raises(ValueError):
+        jax.jit(art.call)(_rand_batch())  # B=2 into a B=4 artifact
+
+
+def test_export_f32_input_variant(tmp_path):
+    pred = _tiny_predictor(u8=False)
+    x = _rand_batch(u8=False)
+    live = [np.asarray(o) for o in pred._infer(pred.variables, x)]
+    exported = export_predictor(pred)
+    path = str(tmp_path / "model.jaxexp")
+    save_artifact(exported, path)
+    art = load_artifact(path)
+    assert art.in_avals[0].dtype == np.float32
+    got = [np.asarray(o) for o in jax.jit(art.call)(x)]
+    np.testing.assert_allclose(got[0], live[0], rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(got[3], live[3])

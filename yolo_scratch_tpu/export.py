@@ -1,0 +1,143 @@
+"""AOT export of the deploy graph — serialized StableHLO serving artifacts.
+
+``export_predictor`` traces the Predictor's jitted u8→detections program
+(bf16 model with folded BN → fused select-then-decode → NMS) with the
+weights embedded as constants and returns a ``jax.export.Exported``;
+``save_artifact``/``load_artifact`` round-trip it through jax.export's
+versioned serialization. A serving process needs only jax and the
+artifact bytes — none of this framework's model/builder/checkpoint code
+— and gets exactly the graph the benchmarks measure.
+
+The torch reference has no ahead-of-time deployment story (serving means
+importing the training stack, ``train_yolo11_cuda.py:265-399``); this
+subsystem is the TPU-native equivalent of its CUDA-runtime deploy path,
+done the XLA way: one hermetic compiled program per (batch, image-size)
+shape, static everything.
+
+Backend notes:
+- Artifacts are single-platform (recorded at export). A TPU export embeds
+  the Pallas NMS as a ``tpu_custom_call`` (jax.export's stability check
+  for it is disabled deliberately — the artifact is rebuilt alongside the
+  framework, not archived across jax versions); pass
+  ``nms_impl="xla"`` for a pure stable-HLO artifact instead.
+- Fixed batch: callers pad the tail batch (Predictor.predict_paths
+  already does) — symbolic batch dims would force XLA to re-tile the
+  whole program per shape anyway.
+
+CLI: ``python -m yolo_scratch_tpu.export --ckpt <dir> --out model.jaxexp``
+then smoke-check with ``--check`` (deserializes and runs zeros through
+the artifact).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import export as jexport
+
+from yolo_scratch_tpu.infer import Predictor, PredictorConfig, load_deploy_model
+
+ARTIFACT_SUFFIX = ".jaxexp"
+
+
+def export_predictor(predictor: Predictor, batch_size: Optional[int] = None):
+    """Export a Predictor's device program as a ``jax.export.Exported``.
+
+    The returned artifact is a function of ONE argument — the image batch
+    ``(B, S, S, ch)`` uint8 (or f32 if the predictor was built with
+    ``u8_transfer=False``) — with the (BN-folded, bf16) weights baked in
+    as constants. Output pytree: ``(boxes, scores, labels, valid)`` with
+    shapes ``(B, max_det, 4) f32, (B, max_det) f32, (B, max_det) i32,
+    (B, max_det) bool`` — boxes normalized to [0, 1] model space
+    (host-side unmapping to original pixels stays host-side, it depends
+    on per-image letterbox metadata).
+    """
+    cfg = predictor.cfg
+    B = batch_size or cfg.batch_size
+    ch = predictor.model.in_ch
+    dtype = jnp.uint8 if cfg.u8_transfer else jnp.float32
+    spec = jax.ShapeDtypeStruct((B, cfg.img_size, cfg.img_size, ch), dtype)
+
+    variables = predictor.variables
+
+    @jax.jit
+    def serve(x):
+        return predictor._infer(variables, x)
+
+    # the Pallas NMS lowers to tpu_custom_call on TPU; jax.export refuses
+    # custom calls not on its stability allowlist unless told otherwise
+    disabled = [jexport.DisabledSafetyCheck.custom_call("tpu_custom_call")]
+    return jexport.export(serve, disabled_checks=disabled)(spec)
+
+
+def save_artifact(exported, path: str) -> int:
+    """Serialize an Exported to ``path``; returns the byte count."""
+    blob = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return len(blob)
+
+
+def load_artifact(path: str):
+    """Deserialize a serving artifact; ``.call`` (jit-able) runs it."""
+    with open(path, "rb") as f:
+        return jexport.deserialize(bytearray(f.read()))
+
+
+def main(argv=None):
+    import argparse
+    from pathlib import Path
+
+    p = argparse.ArgumentParser(description="Export the deploy graph to a StableHLO artifact")
+    p.add_argument("--cfg", type=str,
+                   default=str(Path(__file__).parent / "configs/yolo11_crater.yaml"))
+    p.add_argument("--scale", type=str, default="n")
+    p.add_argument("--ckpt", type=str, default=None, help="checkpoint dir (orbax 'last'/'best')")
+    p.add_argument("--torch-ckpt", type=str, default=None, help="reference .pt checkpoint")
+    p.add_argument("--which", type=str, default="best", choices=["best", "last"])
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--conf", type=float, default=0.25)
+    p.add_argument("--iou", type=float, default=0.45)
+    p.add_argument("--max-det", type=int, default=300)
+    p.add_argument("--nc", type=int, default=None)
+    p.add_argument("--ch", type=int, default=None)
+    p.add_argument("--class-aware", action="store_true")
+    p.add_argument("--nms-impl", type=str, default="pallas", choices=["pallas", "xla"],
+                   help="'xla' emits a pure stable-HLO artifact (no TPU custom calls)")
+    p.add_argument("--out", type=str, required=True, help=f"artifact path ({ARTIFACT_SUFFIX})")
+    p.add_argument("--check", action="store_true",
+                   help="deserialize the written artifact and run a zeros batch through it")
+    args = p.parse_args(argv)
+
+    model, variables = load_deploy_model(
+        args.cfg, scale=args.scale, imgsz=args.imgsz, ckpt=args.ckpt,
+        torch_ckpt=args.torch_ckpt, which=args.which, ch=args.ch, nc=args.nc,
+    )
+    cfg = PredictorConfig(
+        img_size=args.imgsz, batch_size=args.batch, conf_threshold=args.conf,
+        iou_threshold=args.iou, max_det=args.max_det,
+        class_aware_nms=args.class_aware, nms_impl=args.nms_impl,
+    )
+    predictor = Predictor(model, variables, cfg)
+    exported = export_predictor(predictor)
+    nbytes = save_artifact(exported, args.out)
+    print(f"wrote {args.out}: {nbytes / 1e6:.2f} MB, platforms={exported.platforms}, "
+          f"in={exported.in_avals}, out={len(exported.out_avals)} arrays")
+
+    if args.check:
+        art = load_artifact(args.out)
+        x = np.zeros(art.in_avals[0].shape, art.in_avals[0].dtype)
+        boxes, scores, labels, valid = jax.jit(art.call)(x)
+        np.asarray(boxes)  # sync (tunnel-safe)
+        print(f"check ok: boxes {boxes.shape} {boxes.dtype}, "
+              f"valid {int(np.asarray(valid).sum())} detections on zeros")
+    return exported
+
+
+if __name__ == "__main__":
+    main()

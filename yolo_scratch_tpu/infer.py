@@ -46,6 +46,10 @@ class PredictorConfig:
     # (e.g. 32, ~0.76 ms faster at B=128) only after validating your own
     # workload's block occupancy with that script.
     blocked_topk: int = 0
+    # NMS backend: "pallas" (the batched kernel, class-aware since
+    # b3a219e; interpret mode on CPU) or "xla" (pure stable-HLO sweep —
+    # required for cross-platform jax.export artifacts, see export.py).
+    nms_impl: str = "pallas"
 
 
 class Predictor:
@@ -88,9 +92,7 @@ class Predictor:
                 max_det=cfg.max_det,
                 pre_nms_topk=cfg.pre_nms_topk,
                 class_aware=cfg.class_aware_nms,
-                # the Pallas batched kernel is class-aware since b3a219e
-                # (per-class box offset before the sweep) — no XLA fallback
-                nms_impl="pallas",
+                nms_impl=cfg.nms_impl,
                 blocked_topk=cfg.blocked_topk,
             )
 
@@ -196,6 +198,63 @@ class Predictor:
             yield from drain(entry)
 
 
+def load_deploy_model(
+    cfg_path: str,
+    scale: str = "n",
+    imgsz: int = 640,
+    ckpt: Optional[str] = None,
+    torch_ckpt: Optional[str] = None,
+    which: str = "best",
+    ch: Optional[int] = None,
+    nc: Optional[int] = None,
+):
+    """Build the model + variables a deploy CLI serves.
+
+    Explicit ``ch``/``nc`` win; otherwise they are read off the checkpoint's
+    params tree so deploy serves whatever the train CLI produced (nc=80
+    COCO models included) without being told. Shared by the infer and
+    export CLIs. Returns ``(model, variables)``.
+    """
+    from yolo_scratch_tpu.models.builder import build_yolo11, dims_from_params
+
+    loaded_torch = None
+    if torch_ckpt:
+        from yolo_scratch_tpu.utils.torch_import import load_reference_checkpoint
+
+        loaded_torch = load_reference_checkpoint(torch_ckpt)
+        if ch is None or nc is None:
+            d_ch, d_nc = dims_from_params(loaded_torch[0])
+            ch, nc = ch or d_ch, nc or d_nc
+    elif ckpt and (ch is None or nc is None):
+        from yolo_scratch_tpu.train.checkpoints import CheckpointManager
+
+        raw = CheckpointManager(ckpt).peek_raw(which)
+        if raw is not None:
+            d_ch, d_nc = dims_from_params(raw["params"])
+            ch, nc = ch or d_ch, nc or d_nc
+    ch, nc = ch or 1, nc or 5  # reference defaults (train_yolo11_cuda.py:554)
+
+    model = build_yolo11(cfg_path, ch=ch, nc=nc, scale=scale)
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, imgsz, imgsz, ch), np.float32)
+    )
+    if loaded_torch is not None:
+        variables = {"params": loaded_torch[0], "batch_stats": loaded_torch[1]}
+    elif ckpt:
+        from yolo_scratch_tpu.train.checkpoints import CheckpointManager
+        from yolo_scratch_tpu.train.optim import make_optimizer
+        from yolo_scratch_tpu.train.state import create_train_state
+
+        state = create_train_state(
+            model, jax.random.PRNGKey(0),
+            np.zeros((1, imgsz, imgsz, ch), np.float32), make_optimizer(),
+        )
+        mgr = CheckpointManager(ckpt)
+        state, _, _, _ = mgr.try_resume(state, name=which)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return model, variables
+
+
 def main(argv=None):
     import argparse
 
@@ -225,8 +284,6 @@ def main(argv=None):
                         "0 = exact (default)")
     args = p.parse_args(argv)
 
-    from yolo_scratch_tpu.models.builder import build_yolo11, dims_from_params
-
     root = Path(args.images)
     exts = {".png", ".jpg", ".jpeg", ".bmp"}
     paths = (
@@ -237,45 +294,10 @@ def main(argv=None):
     if not paths:
         raise SystemExit(f"no images under {root}")
 
-    # model dims: explicit flags win; otherwise read them off the
-    # checkpoint's params tree so the deploy CLI serves whatever the train
-    # CLI produced (nc=80 COCO models included) without being told
-    ch, nc = args.ch, args.nc
-    loaded_torch = None
-    if args.torch_ckpt:
-        from yolo_scratch_tpu.utils.torch_import import load_reference_checkpoint
-
-        loaded_torch = load_reference_checkpoint(args.torch_ckpt)
-        if ch is None or nc is None:
-            d_ch, d_nc = dims_from_params(loaded_torch[0])
-            ch, nc = ch or d_ch, nc or d_nc
-    elif args.ckpt and (ch is None or nc is None):
-        from yolo_scratch_tpu.train.checkpoints import CheckpointManager
-
-        raw = CheckpointManager(args.ckpt).peek_raw(args.which)
-        if raw is not None:
-            d_ch, d_nc = dims_from_params(raw["params"])
-            ch, nc = ch or d_ch, nc or d_nc
-    ch, nc = ch or 1, nc or 5  # reference defaults (train_yolo11_cuda.py:554)
-
-    model = build_yolo11(args.cfg, ch=ch, nc=nc, scale=args.scale)
-    variables = model.init(
-        jax.random.PRNGKey(0), np.zeros((1, args.imgsz, args.imgsz, ch), np.float32)
+    model, variables = load_deploy_model(
+        args.cfg, scale=args.scale, imgsz=args.imgsz, ckpt=args.ckpt,
+        torch_ckpt=args.torch_ckpt, which=args.which, ch=args.ch, nc=args.nc,
     )
-    if loaded_torch is not None:
-        variables = {"params": loaded_torch[0], "batch_stats": loaded_torch[1]}
-    elif args.ckpt:
-        from yolo_scratch_tpu.train.checkpoints import CheckpointManager
-        from yolo_scratch_tpu.train.optim import make_optimizer
-        from yolo_scratch_tpu.train.state import create_train_state
-
-        state = create_train_state(
-            model, jax.random.PRNGKey(0),
-            np.zeros((1, args.imgsz, args.imgsz, ch), np.float32), make_optimizer(),
-        )
-        mgr = CheckpointManager(args.ckpt)
-        state, _, _, _ = mgr.try_resume(state, name=args.which)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     cfg = PredictorConfig(
         img_size=args.imgsz, batch_size=args.batch, conf_threshold=args.conf,
