@@ -21,6 +21,8 @@ Layer map (bottom-up):
   ``parallel/`` mesh setup and sharded train/eval steps
   ``train/``    Trainer, optimizer, schedules, checkpoints, CLI
   ``utils/``    metrics (mAP, CDA scorer), logging, profiling
+  ``val.py`` / ``infer.py`` / ``export.py``  eval CLI, streaming deploy
+                CLI, and AOT StableHLO serving-artifact export
 """
 
 __version__ = "0.1.0"
