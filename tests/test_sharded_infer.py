@@ -1,0 +1,66 @@
+"""Scale-out serving: Predictor.shard_over on the virtual 8-device mesh.
+
+The shard_map-wrapped deploy program (forward + decode + Pallas NMS per
+local shard, zero collectives) must produce exactly the single-device
+Predictor's detections, and its outputs must actually live sharded over
+the mesh.
+"""
+
+import numpy as np
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from yolo_scratch_tpu.infer import Predictor, PredictorConfig
+from yolo_scratch_tpu.models.builder import build_yolo11
+from yolo_scratch_tpu.parallel.mesh import make_mesh
+
+CFG = "yolo_scratch_tpu/configs/yolo11_crater.yaml"
+IMGSZ = 160
+
+
+def _predictor():
+    model = build_yolo11(CFG, ch=1, nc=5, scale="n")
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, IMGSZ, IMGSZ, 1), np.float32)
+    )
+    cfg = PredictorConfig(
+        img_size=IMGSZ, batch_size=8, conf_threshold=0.001, max_det=32,
+        pre_nms_topk=128,
+    )
+    return model, variables, cfg
+
+
+def test_sharded_predictor_matches_single_device():
+    model, variables, cfg = _predictor()
+    x = np.random.default_rng(3).integers(
+        0, 256, size=(8, IMGSZ, IMGSZ, 1), dtype=np.uint8)
+
+    single = Predictor(model, variables, cfg)
+    ref = [np.asarray(o) for o in single._infer(single.variables, x)]
+    assert ref[3].sum() > 0
+
+    mesh = make_mesh(8)
+    sharded = Predictor(model, variables, cfg).shard_over(mesh)
+    out = sharded._infer(sharded.variables, x)
+
+    # outputs live batch-sharded over all 8 devices, not replicated
+    assert len(out[0].sharding.device_set) == 8
+    assert out[0].sharding.is_equivalent_to(
+        NamedSharding(mesh, P("dp")), ndim=out[0].ndim)
+
+    got = [np.asarray(o) for o in out]
+    np.testing.assert_allclose(got[0], ref[0], rtol=0, atol=1e-6)
+    np.testing.assert_allclose(got[1], ref[1], rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(got[2], ref[2])
+    np.testing.assert_array_equal(got[3], ref[3])
+
+
+def test_sharded_predictor_rejects_indivisible_batch():
+    model, variables, cfg = _predictor()
+    cfg.batch_size = 6
+    mesh = make_mesh(8)
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        Predictor(model, variables, cfg).shard_over(mesh)

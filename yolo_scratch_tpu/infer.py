@@ -98,6 +98,47 @@ class Predictor:
 
         self._infer = jax.jit(_infer)
 
+    # -- scale-out serving -------------------------------------------------
+
+    def shard_over(self, mesh, axis: str = "dp"):
+        """Batch-parallel serving over a device mesh (in place; returns self).
+
+        Detection inference is embarrassingly batch-parallel, so the
+        scale-out design is: weights replicated, batch dim sharded, the
+        WHOLE per-image program (forward + decode + NMS) wrapped in
+        ``shard_map`` so every op — the Pallas NMS kernel included — runs
+        on its device's local shard with zero collectives. (Plain jit
+        sharding propagation would replicate around the Pallas custom
+        call; shard_map is the TPU-right formulation.) ``batch_size``
+        must divide by the mesh size.
+        """
+        import functools
+
+        # the varying-mesh-axes check can't see through pallas_call's
+        # ShapeDtypeStruct outputs — disable it (old API name: check_rep)
+        try:
+            from jax import shard_map  # jax >= 0.8
+            shard_map = functools.partial(shard_map, check_vma=False)
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+            shard_map = functools.partial(shard_map, check_rep=False)
+        from jax.sharding import PartitionSpec as P
+
+        from yolo_scratch_tpu.parallel.mesh import replicate
+
+        n = mesh.devices.size
+        if self.cfg.batch_size % n:
+            raise ValueError(
+                f"batch_size {self.cfg.batch_size} not divisible by mesh size {n}")
+        self.variables = replicate(self.variables, mesh)
+        inner = self._infer
+
+        self._infer = jax.jit(shard_map(
+            lambda v, x: inner(v, x),
+            mesh=mesh, in_specs=(P(), P(axis)), out_specs=P(axis),
+        ))
+        return self
+
     # -- host prep ---------------------------------------------------------
 
     def _prepare(self, paths: Sequence[str]):
