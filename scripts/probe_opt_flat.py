@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--variants", default="grads-only,per-leaf,flat",
                     help="comma-separated subset (e.g. just 'per-leaf' for a "
                          "throughput check at another batch size)")
+    ap.add_argument("--remat", action="store_true",
+                    help="activation rematerialization (required past B~128 "
+                         "at 640 on one v5e chip — B=256 un-remat'd is a real "
+                         "HBM OOM, measured)")
     args = ap.parse_args()
 
     from yolo_scratch_tpu.losses.v8_loss import DetectionLossConfig
@@ -87,18 +91,24 @@ def main():
         )
 
     def scanned(step):
-        def one(state, _):
-            state, m = step(state, batch)
-            return state, m["loss"]
-
+        # NOTE: the batch must be a jit ARGUMENT, not a closure capture —
+        # closed-over device arrays are embedded as constants in the
+        # compile payload, and at B=256 the 419 MB image tensor blows the
+        # axon tunnel's remote_compile size limit (HTTP 413). As an
+        # argument it rides the normal transfer path instead.
         @jax.jit
-        def run(state):
+        def run(state, b):
+            def one(state, _):
+                state, m = step(state, b)
+                return state, m["loss"]
+
             state, losses = lax.scan(one, state, None, length=K)
             return state, losses
 
         return run
 
-    step = build_train_step_custom(model, loss_fn, compute_dtype=jnp.bfloat16)
+    step = build_train_step_custom(
+        model, loss_fn, compute_dtype=jnp.bfloat16, remat=args.remat)
 
     # grads-only: byte-for-byte the build_train_step_custom forward/loss/
     # backward (bf16 compute, f32 masters/BN), with apply_gradients replaced
@@ -143,7 +153,7 @@ def main():
     for name, stp, state in variants:
         run = scanned(stp)
         t0 = time.perf_counter()
-        s2, losses = run(state)
+        s2, losses = run(state, batch)
         np.asarray(losses)
         print(f"{name}: compiled in {time.perf_counter() - t0:.1f}s, "
               f"loss[0]={float(losses[0]):.2f} loss[-1]={float(losses[-1]):.2f}",
@@ -151,7 +161,7 @@ def main():
         best = float("inf")
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            s3, losses = run(state)
+            s3, losses = run(state, batch)
             np.asarray(losses)  # sync via bytes (block_until_ready lies here)
             best = min(best, (time.perf_counter() - t0) / K)
         results[name] = (best, float(losses[-1]))
