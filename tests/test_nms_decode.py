@@ -250,6 +250,49 @@ def test_postprocess_from_feats_bf16_native():
             np.asarray(g), np.asarray(r), rtol=1e-6, atol=1e-7, err_msg=name)
 
 
+def test_logit_ranked_selection_semantics():
+    """The fused path ranks candidates on the raw max-logit instead of the
+    f32 sigmoid score. Pins the two halves of that contract:
+
+    1. wherever sigmoid is injective on the logit domain (everything but
+       deep saturation, |logit| < ~17), the selected set, order, tie
+       handling AND returned f32 scores are identical to ranking on the
+       f32 sigmoid — including bf16-tied logits, which both paths break
+       stably by anchor index;
+    2. in saturation (scores rounding to exactly 1.0 in f32) the logit
+       ranking is strictly FINER: candidates are ordered by their true
+       logit where score ranking would see an arbitrary run of 1.0 ties.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_scratch_tpu.ops.decode import topk_scores
+
+    rng = np.random.RandomState(7)
+    B, A, K = 4, 512, 64
+    # dense bf16 logits with guaranteed ties (quantize to a coarse grid)
+    logits = jnp.asarray(
+        np.round(rng.randn(B, A) * 4) / 4, jnp.bfloat16)  # many exact ties
+    conf_ok = jax.nn.sigmoid(logits.astype(jnp.float32)) > 0.25
+
+    masked_logit = jnp.where(conf_ok, logits, -jnp.inf * jnp.ones((), logits.dtype))
+    masked_score = jnp.where(
+        conf_ok, jax.nn.sigmoid(logits.astype(jnp.float32)), -jnp.inf)
+
+    tl, ti = topk_scores(masked_logit, K)
+    ts, si = topk_scores(masked_score, K)
+    np.testing.assert_array_equal(np.asarray(ti), np.asarray(si))
+    np.testing.assert_array_equal(
+        np.asarray(jax.nn.sigmoid(tl.astype(jnp.float32))), np.asarray(ts))
+
+    # saturation: scores collapse to 1.0, logits keep the true order
+    sat = jnp.asarray(np.array([[20.0, 30.0, 25.0] + [-9.0] * 13]), jnp.bfloat16)
+    sat_scores = jax.nn.sigmoid(sat.astype(jnp.float32))
+    assert bool((np.asarray(sat_scores)[0, :3] == 1.0).all())  # saturated
+    _, li = topk_scores(sat, 3)
+    np.testing.assert_array_equal(np.asarray(li)[0], [1, 2, 0])  # by logit
+
+
 def test_nms_presorted_matches():
     """nms(presorted=True) on score-descending inputs == the sorting path."""
     from yolo_scratch_tpu.ops.nms import nms

@@ -249,16 +249,26 @@ def postprocess_from_feats(
     )
 
     cls_logits = x[..., 4 * reg_max:]
-    scores = jax.nn.sigmoid(jnp.max(cls_logits, axis=-1).astype(jnp.float32))
-    conf_ok = scores > conf_threshold
+    max_logit = jnp.max(cls_logits, axis=-1)  # (B, A_pad), feats' dtype
+    # conf gate computed exactly as the unfused path does (f32 sigmoid >
+    # conf) so the candidate SET is bit-identical to it
+    conf_ok = jax.nn.sigmoid(max_logit.astype(jnp.float32)) > conf_threshold
     if pad_rows:  # padding rows (sigmoid(0)=0.5) must never be candidates
         conf_ok = conf_ok & (jnp.arange(A + pad_rows)[None] < A)
 
     k = min(pre_nms_topk, A)
-    top_scores, top_idx = topk_scores(
-        jnp.where(conf_ok, scores, -jnp.inf), k, blocked=blocked_topk)
-    top_valid = jnp.isfinite(top_scores)
-    top_scores = jnp.where(top_valid, top_scores, 0.0)
+    # Rank on the raw (bf16) max-logit, not the f32 sigmoid: sigmoid is
+    # strictly monotone, so ordering AND ties are identical (two f32
+    # sigmoid outputs are equal iff their bf16 logits compare equal, ±0
+    # included), XLA TopK breaks ties stably by index either way
+    # (verified: scripts/probe_topk.py), and the 16-bit sort key is ~8%
+    # faster while the dense f32 score tensor is never materialized.
+    top_logits, top_idx = topk_scores(
+        jnp.where(conf_ok, max_logit, -jnp.inf * jnp.ones((), max_logit.dtype)),
+        k, blocked=blocked_topk)
+    top_valid = jnp.isfinite(top_logits.astype(jnp.float32))
+    top_scores = jnp.where(
+        top_valid, jax.nn.sigmoid(top_logits.astype(jnp.float32)), 0.0)
 
     # row-select the raw head columns (box logits + cls logits together —
     # the label argmax runs on the K selected rows, not all A), and the
