@@ -85,3 +85,34 @@ def test_export_f32_input_variant(tmp_path):
     got = [np.asarray(o) for o in jax.jit(art.call)(x)]
     np.testing.assert_allclose(got[0], live[0], rtol=0, atol=1e-6)
     np.testing.assert_array_equal(got[3], live[3])
+
+
+def test_export_roundtrip_yolox(tmp_path):
+    """YOLOX-family predictors export identically: generic decode + shared
+    postprocess traced into the artifact (xla NMS = pure stable-HLO)."""
+    from yolo_scratch_tpu.models.yolox import YOLOXModel
+
+    model = YOLOXModel.from_scale("nano", nc=5)
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, IMGSZ, IMGSZ, 3), np.float32)
+    )
+    cfg = PredictorConfig(
+        img_size=IMGSZ, batch_size=2, conf_threshold=1e-5, max_det=32,
+        pre_nms_topk=128, nms_impl="xla",
+    )
+    pred = Predictor(model, variables, cfg)
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 256, size=(2, IMGSZ, IMGSZ, 3), dtype=np.uint8)
+    live = [np.asarray(o) for o in pred._infer(pred.variables, x)]
+    assert live[3].sum() > 0
+
+    path = str(tmp_path / "yolox.jaxexp")
+    save_artifact(export_predictor(pred), path)
+    art = load_artifact(path)
+    (aval,) = art.in_avals
+    assert tuple(aval.shape) == (2, IMGSZ, IMGSZ, 3) and aval.dtype == np.uint8
+    got = [np.asarray(o) for o in jax.jit(art.call)(x)]
+    np.testing.assert_allclose(got[0], live[0], rtol=0, atol=1e-6)
+    np.testing.assert_allclose(got[1], live[1], rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(got[2], live[2])
+    np.testing.assert_array_equal(got[3], live[3])

@@ -58,7 +58,7 @@ def export_predictor(predictor: Predictor, batch_size: Optional[int] = None):
     """
     cfg = predictor.cfg
     B = batch_size or cfg.batch_size
-    ch = predictor.model.in_ch
+    ch = predictor.in_ch  # family-agnostic (YOLOX models carry no in_ch attr)
     dtype = jnp.uint8 if cfg.u8_transfer else jnp.float32
     spec = jax.ShapeDtypeStruct((B, cfg.img_size, cfg.img_size, ch), dtype)
 

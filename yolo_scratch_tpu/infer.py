@@ -57,7 +57,7 @@ class Predictor:
 
     def __init__(self, model, variables, config: PredictorConfig = PredictorConfig()):
         from yolo_scratch_tpu.nn.fuse import fuse_conv_bn
-        from yolo_scratch_tpu.ops.decode import postprocess_from_feats
+        from yolo_scratch_tpu.ops.decode import postprocess, postprocess_from_feats
 
         self.model = model
         self.cfg = config
@@ -73,19 +73,50 @@ class Predictor:
         self.variables = variables
 
         cfg = config
+        # Family dispatch: the YOLO11 builder family exposes reg_max (DFL
+        # head -> fused select-then-decode); YOLOX-family models decode to
+        # the common (B, A, 4+nc) format and share the generic postprocess.
+        is_dfl = hasattr(model, "reg_max")
+        if not is_dfl:
+            from yolo_scratch_tpu.models.yolox import yolox_arch_from_params, yolox_eval_decode
+        # input channels: builder models carry in_ch; YOLOX reads it off
+        # the stem kernel (host prep needs it to decode gray vs RGB)
+        self.in_ch = getattr(model, "in_ch", None) or (
+            yolox_arch_from_params(variables["params"])[0] if not is_dfl else 1
+        )
 
         def _infer(v, x):
             xx = x.astype(jnp.bfloat16) if cfg.bf16 else x.astype(jnp.float32)
             if x.dtype == jnp.uint8:
                 xx = xx / 255.0
             feats = model.apply(v, xx, train=False)
-            # fused select-then-decode (exact; see ops/decode.py) — the DFL
-            # integral runs on pre_nms_topk candidates, not all anchors
-            return postprocess_from_feats(
-                feats,  # native dtype — row selection is dtype-exact
-                nc=model.nc,
-                strides=tuple(float(s) for s in model.strides),
-                reg_max=model.reg_max,
+            if is_dfl:
+                # fused select-then-decode (exact; see ops/decode.py) — the
+                # DFL integral runs on pre_nms_topk candidates, not all
+                # anchors
+                return postprocess_from_feats(
+                    feats,  # native dtype — row selection is dtype-exact
+                    nc=model.nc,
+                    strides=tuple(float(s) for s in model.strides),
+                    reg_max=model.reg_max,
+                    img_size=cfg.img_size,
+                    conf_threshold=cfg.conf_threshold,
+                    iou_threshold=cfg.iou_threshold,
+                    max_det=cfg.max_det,
+                    pre_nms_topk=cfg.pre_nms_topk,
+                    class_aware=cfg.class_aware_nms,
+                    nms_impl=cfg.nms_impl,
+                    blocked_topk=cfg.blocked_topk,
+                )
+            # YOLOX: decode in f32 (bf16 box coords would quantize to
+            # ~2.5 px at 640 — the exp(wh)*stride math is the sensitive
+            # part; the DFL family avoids this by decoding after selection)
+            decoded = yolox_eval_decode(
+                [f.astype(jnp.float32) for f in feats],
+                model.nc, tuple(float(s) for s in model.strides),
+            )
+            return postprocess(
+                decoded,
                 img_size=cfg.img_size,
                 conf_threshold=cfg.conf_threshold,
                 iou_threshold=cfg.iou_threshold,
@@ -93,7 +124,6 @@ class Predictor:
                 pre_nms_topk=cfg.pre_nms_topk,
                 class_aware=cfg.class_aware_nms,
                 nms_impl=cfg.nms_impl,
-                blocked_topk=cfg.blocked_topk,
             )
 
         self._infer = jax.jit(_infer)
@@ -146,7 +176,7 @@ class Predictor:
         from yolo_scratch_tpu.data import native
 
         S = self.cfg.img_size
-        ch = self.model.in_ch
+        ch = self.in_ch
         if native.available():
             imgs, meta, status = native.prepare_batch(
                 paths, S, channels=ch, letterbox=self.cfg.letterbox,
@@ -248,34 +278,62 @@ def load_deploy_model(
     which: str = "best",
     ch: Optional[int] = None,
     nc: Optional[int] = None,
+    model_kind: str = "auto",
 ):
     """Build the model + variables a deploy CLI serves.
 
     Explicit ``ch``/``nc`` win; otherwise they are read off the checkpoint's
     params tree so deploy serves whatever the train CLI produced (nc=80
-    COCO models included) without being told. Shared by the infer and
-    export CLIs. Returns ``(model, variables)``.
+    COCO models included) without being told. ``model_kind`` "auto"
+    likewise reads the family off the checkpoint: a YOLOX tree
+    (backbone/neck/head modules) rebuilds the exact architecture —
+    depth/width included — via ``yolox_arch_from_params``; everything
+    else is the YOLO11 builder family. Shared by the infer and export
+    CLIs. Returns ``(model, variables)``.
     """
     from yolo_scratch_tpu.models.builder import build_yolo11, dims_from_params
 
     loaded_torch = None
+    raw = None
     if torch_ckpt:
         from yolo_scratch_tpu.utils.torch_import import load_reference_checkpoint
 
+        # the torch reference has no YOLOX implementation (SURVEY.md §0.6)
+        model_kind = "yolo11"
         loaded_torch = load_reference_checkpoint(torch_ckpt)
         if ch is None or nc is None:
             d_ch, d_nc = dims_from_params(loaded_torch[0])
             ch, nc = ch or d_ch, nc or d_nc
-    elif ckpt and (ch is None or nc is None):
+    elif ckpt:
         from yolo_scratch_tpu.train.checkpoints import CheckpointManager
 
         raw = CheckpointManager(ckpt).peek_raw(which)
+        if raw is not None and model_kind == "auto":
+            model_kind = "yolox" if "backbone" in raw["params"] else "yolo11"
+
+    if model_kind == "yolox":
+        from yolo_scratch_tpu.models.yolox import (
+            SCALES as YOLOX_SCALES,
+            YOLOXModel,
+            yolox_arch_from_params,
+        )
+
         if raw is not None:
+            d_ch, d_nc, depth, width = yolox_arch_from_params(raw["params"])
+            ch, nc = ch or d_ch, nc or d_nc
+            model = YOLOXModel(nc=nc, depth=depth, width=width)
+        else:
+            ch, nc = ch or 3, nc or 80
+            yx_scale = {"n": "nano", "x": "x"}.get(scale, scale)
+            if yx_scale not in YOLOX_SCALES:
+                yx_scale = "s"
+            model = YOLOXModel.from_scale(yx_scale, nc=nc)
+    else:
+        if raw is not None and (ch is None or nc is None):
             d_ch, d_nc = dims_from_params(raw["params"])
             ch, nc = ch or d_ch, nc or d_nc
-    ch, nc = ch or 1, nc or 5  # reference defaults (train_yolo11_cuda.py:554)
-
-    model = build_yolo11(cfg_path, ch=ch, nc=nc, scale=scale)
+        ch, nc = ch or 1, nc or 5  # reference defaults (train_yolo11_cuda.py:554)
+        model = build_yolo11(cfg_path, ch=ch, nc=nc, scale=scale)
     variables = model.init(
         jax.random.PRNGKey(0), np.zeros((1, imgsz, imgsz, ch), np.float32)
     )
@@ -317,6 +375,9 @@ def main(argv=None):
     p.add_argument("--ch", type=int, default=None,
                    help="input channels (default: read from the checkpoint)")
     p.add_argument("--which", type=str, default="best", choices=["best", "last"])
+    p.add_argument("--model", type=str, default="auto",
+                   choices=["auto", "yolo11", "yolox"],
+                   help="model family (default: read from the checkpoint)")
     p.add_argument("--class-aware", action="store_true",
                    help="class-aware NMS (per-class suppression; COCO-style serving)")
     p.add_argument("--blocked-topk", type=int, default=0,
@@ -338,6 +399,7 @@ def main(argv=None):
     model, variables = load_deploy_model(
         args.cfg, scale=args.scale, imgsz=args.imgsz, ckpt=args.ckpt,
         torch_ckpt=args.torch_ckpt, which=args.which, ch=args.ch, nc=args.nc,
+        model_kind=args.model,
     )
 
     cfg = PredictorConfig(

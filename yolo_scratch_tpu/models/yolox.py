@@ -217,3 +217,25 @@ def yolox_decode(
     return jnp.concatenate(
         [box, jax.nn.sigmoid(flat[..., 4:5]), jax.nn.sigmoid(flat[..., 5:])], -1
     )
+
+
+def yolox_arch_from_params(params) -> Tuple[int, int, float, float]:
+    """Read (ch, nc, depth, width) off a ``YOLOXModel`` params tree.
+
+    The YOLOX analog of ``builder.dims_from_params`` so deploy CLIs can
+    serve a checkpoint without being told the architecture:
+
+    * ch: the Focus stem conv sees 4*ch space-to-depth channels (HWIO
+      in-dim 2), * nc: the head's 1x1 cls projection out-dim,
+    * width: stem out-channels / 64 (``base = int(64 * width)`` — exact
+      for every SCALES entry since downstream channels are multiples of
+      base), * depth: dark2 bottleneck count / 3 (``d = max(round(3 *
+      depth), 1)`` — any depth with the same round reproduces the graph).
+    """
+    stem_k = params["backbone"]["stem"]["conv"]["conv"]["kernel"]
+    ch = int(stem_k.shape[2]) // 4
+    base = int(stem_k.shape[-1])
+    nc = int(params["head"]["cls_pred_0"]["kernel"].shape[-1])
+    n_dark2 = sum(1 for k in params["backbone"]["dark2_csp"] if k.endswith("_cv1")
+                  and k.startswith("m_"))
+    return ch, nc, n_dark2 / 3.0, base / 64.0

@@ -35,6 +35,8 @@ def main(argv=None):
     p.add_argument("--cfg", type=str,
                    default=str(Path(__file__).parent / "configs/yolo11_crater.yaml"))
     p.add_argument("--scale", type=str, default="n")
+    p.add_argument("--model", type=str, default="yolo11", choices=["yolo11", "yolox"],
+                   help="model family (mirrors the train CLI's --model)")
     p.add_argument("--ckpt", type=str, default=None, help="checkpoint dir")
     p.add_argument("--which", type=str, default="best", choices=["best", "last"])
     p.add_argument("--torch-ckpt", type=str, default=None)
@@ -72,7 +74,22 @@ def main(argv=None):
     ds, ch, nc = make_datasets(args)
     loader = Loader(ds, args.batch, max_gt=args.max_gt, prefetch=2)
 
-    model = build_yolo11(args.cfg, ch=ch, nc=nc, scale=args.scale)
+    loss_fn = decode_fn = None
+    if args.model == "yolox":
+        # same wiring as Trainer(model_kind='yolox'): SimOTA loss for the
+        # val-loss metric, obj*cls decode into the shared postprocess
+        from yolo_scratch_tpu.losses.simota import YOLOXLossConfig
+        from yolo_scratch_tpu.models.yolox import YOLOXModel, yolox_eval_decode
+        from yolo_scratch_tpu.train.steps import yolox_loss_adapter
+
+        yx_scale = {"n": "nano", "x": "x"}.get(args.scale, args.scale)
+        model = YOLOXModel.from_scale(yx_scale, nc=nc)
+        loss_fn = yolox_loss_adapter(
+            YOLOXLossConfig(nc=nc, strides=tuple(model.strides)))
+        decode_fn = lambda feats: yolox_eval_decode(  # noqa: E731
+            feats, nc, tuple(model.strides))
+    else:
+        model = build_yolo11(args.cfg, ch=ch, nc=nc, scale=args.scale)
     state = create_train_state(
         model, jax.random.PRNGKey(0),
         np.zeros((1, args.imgsz, args.imgsz, ch), np.float32), make_optimizer(),
@@ -93,7 +110,7 @@ def main(argv=None):
     loss_cfg = DetectionLossConfig(nc=model.nc, strides=model.strides)
     step = make_eval_step(
         model, loss_cfg, conf_threshold=args.conf, iou_threshold=args.iou,
-        use_ema=args.ema,
+        use_ema=args.ema, loss_fn=loss_fn, decode_fn=decode_fn,
         match_thresholds=DEFAULT_THRESHOLDS if device_match else None,
         per_class=args.per_class and device_match,
     )
