@@ -64,3 +64,44 @@ def test_sharded_predictor_rejects_indivisible_batch():
 
     with pytest.raises(ValueError, match="not divisible"):
         Predictor(model, variables, cfg).shard_over(mesh)
+
+
+def test_sharded_predictor_matches_single_device_yolox():
+    """Family dispatch under shard_map: the YOLOX deploy program (generic
+    decode + shared NMS) scales out identically to the DFL path.
+
+    Pinned in f32: XLA compiles the per-shard B=1 convs with a different
+    reduction order than the unsharded B=8 program (measured 1 bf16 ulp on
+    the raw features), and a random-init YOLOX's scores are near-ties
+    (~prior² ≈ 1e-4, gaps < 1e-5), so bf16 rank order — hence NMS keep
+    sets — is not shard-invariant at init. In f32 the reassociation noise
+    (~1e-7) sits far below the score gaps and detections match exactly.
+    Trained models have well-separated scores; the bf16 deploy default is
+    unaffected in practice (the yolo11 bf16 test above stays bit-exact)."""
+    from yolo_scratch_tpu.models.yolox import YOLOXModel
+
+    model = YOLOXModel.from_scale("nano", nc=5)
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, IMGSZ, IMGSZ, 3), np.float32)
+    )
+    cfg = PredictorConfig(
+        img_size=IMGSZ, batch_size=8, conf_threshold=1e-5, max_det=32,
+        pre_nms_topk=128, bf16=False,
+    )
+    x = np.random.default_rng(5).integers(
+        0, 256, size=(8, IMGSZ, IMGSZ, 3), dtype=np.uint8)
+
+    single = Predictor(model, variables, cfg)
+    ref = [np.asarray(o) for o in single._infer(single.variables, x)]
+    assert ref[3].sum() > 0
+
+    mesh = make_mesh(8)
+    sharded = Predictor(model, variables, cfg).shard_over(mesh)
+    out = sharded._infer(sharded.variables, x)
+    assert len(out[0].sharding.device_set) == 8
+
+    got = [np.asarray(o) for o in out]
+    np.testing.assert_allclose(got[0], ref[0], rtol=0, atol=1e-6)
+    np.testing.assert_allclose(got[1], ref[1], rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(got[2], ref[2])
+    np.testing.assert_array_equal(got[3], ref[3])
