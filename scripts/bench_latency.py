@@ -49,7 +49,9 @@ def main():
     ap.add_argument("--iters", type=int, default=100,
                     help="scan length for the device-latency measurement")
     ap.add_argument("--launches", type=int, default=50,
-                    help="single launches for the host-visible distribution")
+                    help="single launches for the host-visible distribution; "
+                         "0 skips part 2 (each part costs a separate ~5-10 min "
+                         "tunnel compile — split across processes if needed)")
     args = ap.parse_args()
 
     from yolo_scratch_tpu.models.builder import build_yolo11
@@ -101,28 +103,33 @@ def main():
         best = min(best, time.perf_counter() - t0)
     device_ms = best / args.iters * 1e3
 
-    # -- 2. host-visible per-launch latency (tunnel-inflated; caveat above)
-    infer_single = jax.jit(infer_one)
-    x1 = xs[0]
-    sync(infer_single(variables, x1))  # compile
-    sync(infer_single(variables, x1))
-    laps = []
-    for _ in range(args.launches):
-        t0 = time.perf_counter()
-        sync(infer_single(variables, x1))
-        laps.append((time.perf_counter() - t0) * 1e3)
-    laps = np.array(laps)
-
-    print(json.dumps({
+    result = {
         "scale": args.scale,
         "imgsz": img,
         "device_latency_ms": round(device_ms, 3),
-        "launch_p50_ms": round(float(np.percentile(laps, 50)), 3),
-        "launch_p99_ms": round(float(np.percentile(laps, 99)), 3),
-        "launch_note": "per-launch numbers include the axon tunnel's ~5 ms "
-                       "RPC dispatch + output fetch; a real host pays ~0.1 ms "
-                       "over device_latency_ms",
-    }))
+    }
+    print(json.dumps(result))  # part 1 lands even if part 2's compile dies
+
+    if args.launches > 0:
+        # -- 2. host-visible per-launch latency (tunnel-inflated; caveat above)
+        infer_single = jax.jit(infer_one)
+        x1 = xs[0]
+        sync(infer_single(variables, x1))  # compile
+        sync(infer_single(variables, x1))
+        laps = []
+        for _ in range(args.launches):
+            t0 = time.perf_counter()
+            sync(infer_single(variables, x1))
+            laps.append((time.perf_counter() - t0) * 1e3)
+        laps = np.array(laps)
+        result.update({
+            "launch_p50_ms": round(float(np.percentile(laps, 50)), 3),
+            "launch_p99_ms": round(float(np.percentile(laps, 99)), 3),
+            "launch_note": "per-launch numbers include the axon tunnel's ~5 ms "
+                           "RPC dispatch + output fetch; a real host pays "
+                           "~0.1 ms over device_latency_ms",
+        })
+        print(json.dumps(result))
 
 
 if __name__ == "__main__":

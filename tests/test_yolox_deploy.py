@@ -117,3 +117,41 @@ def test_val_cli_yolox():
     ])
     assert np.isfinite(out["loss"])
     assert "mAP50" in out and "mAP50-95" in out
+
+
+def test_yolox_cli_handoff(tmp_path):
+    """The exact user workflow: train CLI produces a YOLOX checkpoint ->
+    val CLI evaluates it -> infer CLI serves it with zero architecture
+    flags (family/depth/width/ch/nc all read off the checkpoint)."""
+    from PIL import Image
+
+    from yolo_scratch_tpu import infer as infer_cli
+    from yolo_scratch_tpu import val as val_cli
+    from yolo_scratch_tpu.train import cli as train_cli
+
+    save = tmp_path / "run"
+    train_cli.main([
+        "--data", "synthetic", "--model", "yolox", "--scale", "nano",
+        "--epochs", "1", "--batch", "4", "--imgsz", "64",
+        "--save-dir", str(save), "--max-val-batches", "1",
+        "--val-conf", "0.001",
+    ])
+
+    out = val_cli.main([
+        "--data", "synthetic", "--model", "yolox", "--scale", "nano",
+        "--imgsz", "64", "--batch", "4", "--max-batches", "1",
+        "--conf", "0.001", "--ckpt", str(save), "--which", "last",
+    ])
+    assert np.isfinite(out["loss"])
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):  # synthetic trains ch=1 -> grayscale serving
+        Image.fromarray((rng.rand(50, 70) * 255).astype(np.uint8)).save(
+            img_dir / f"i{i}.png")
+    results = infer_cli.main([
+        "--images", str(img_dir), "--ckpt", str(save), "--which", "last",
+        "--imgsz", "64", "--batch", "2", "--conf", "0.00001",
+    ])
+    assert len(results) == 2
