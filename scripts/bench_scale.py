@@ -1,9 +1,11 @@
-"""End-to-end inference throughput for any YOLO11 scale on the real chip.
+"""End-to-end inference throughput for any YOLO11 or YOLOX scale on the real chip.
 
-Same deploy contract as bench.py (u8 input, bf16, BN folded, fused
-select-then-decode postprocess, exact top-k), parameterized by scale.
+Same deploy contract as bench.py (u8 input, bf16, BN folded, exact top-k),
+parameterized by scale. YOLO11 uses the fused select-then-decode path;
+YOLOX uses the generic decode + shared postprocess (the Predictor's exact
+dispatch, infer.py). YOLOX defaults to the paper config (ch=3, nc=80).
 
-Usage: python scripts/bench_scale.py [--scale s] [--batch 64]
+Usage: python scripts/bench_scale.py [--scale s] [--batch 64] [--model yolox]
 """
 
 from __future__ import annotations
@@ -28,6 +30,7 @@ import jax.numpy as jnp
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", default="s")
+    ap.add_argument("--model", default="yolo11", choices=["yolo11", "yolox"])
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--imgsz", type=int, default=640)
     ap.add_argument("--nscan", type=int, default=4)
@@ -35,14 +38,24 @@ def main():
 
     from yolo_scratch_tpu.models.builder import build_yolo11
     from yolo_scratch_tpu.nn.fuse import fuse_conv_bn
-    from yolo_scratch_tpu.ops.decode import postprocess_from_feats
+    from yolo_scratch_tpu.ops.decode import postprocess, postprocess_from_feats
 
-    img, ch, nc = args.imgsz, 1, 5
+    img = args.imgsz
     B, S = args.batch, args.nscan
-    model = build_yolo11(
-        str(Path(__file__).parent.parent / "yolo_scratch_tpu/configs/yolo11_crater.yaml"),
-        ch=ch, nc=nc, scale=args.scale,
-    )
+    if args.model == "yolox":
+        from yolo_scratch_tpu.models.yolox import SCALES, YOLOXModel, yolox_eval_decode
+
+        ch, nc = 3, 80  # the paper deploy config
+        yx_scale = {"n": "nano", "x": "x"}.get(args.scale, args.scale)
+        if yx_scale not in SCALES:
+            yx_scale = "s"
+        model = YOLOXModel.from_scale(yx_scale, nc=nc)
+    else:
+        ch, nc = 1, 5
+        model = build_yolo11(
+            str(Path(__file__).parent.parent / "yolo_scratch_tpu/configs/yolo11_crater.yaml"),
+            ch=ch, nc=nc, scale=args.scale,
+        )
     variables = model.init(jax.random.PRNGKey(0), np.zeros((1, img, img, ch), np.float32))
     variables = fuse_conv_bn(variables)
     variables = {
@@ -53,6 +66,13 @@ def main():
     def infer_one(v, x):
         xx = x.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
         feats = model.apply(v, xx, train=False)
+        if args.model == "yolox":
+            decoded = yolox_eval_decode(
+                [f.astype(jnp.float32) for f in feats],
+                nc, tuple(float(s) for s in model.strides))
+            return postprocess(
+                decoded, img_size=img, conf_threshold=0.25, iou_threshold=0.45,
+                max_det=300, pre_nms_topk=512, nms_impl="xla")
         return postprocess_from_feats(
             feats, nc=nc, strides=tuple(float(s) for s in model.strides),
             img_size=img, conf_threshold=0.25, iou_threshold=0.45, max_det=300,
@@ -86,6 +106,7 @@ def main():
 
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"]))
     print(json.dumps({
+        "model": args.model,
         "scale": args.scale, "batch": B, "imgsz": img, "params": n_params,
         "images_per_sec_per_chip": round(B * S * iters / best, 2),
     }))
