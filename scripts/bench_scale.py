@@ -48,7 +48,10 @@ def main():
         ch, nc = 3, 80  # the paper deploy config
         yx_scale = {"n": "nano", "x": "x"}.get(args.scale, args.scale)
         if yx_scale not in SCALES:
-            yx_scale = "s"
+            raise SystemExit(
+                f"unknown YOLOX scale {args.scale!r}; choose from "
+                f"{sorted(SCALES)} (or 'n' for nano)"
+            )
         model = YOLOXModel.from_scale(yx_scale, nc=nc)
     else:
         ch, nc = 1, 5

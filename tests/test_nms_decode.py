@@ -254,14 +254,16 @@ def test_logit_ranked_selection_semantics():
     """The fused path ranks candidates on the raw max-logit instead of the
     f32 sigmoid score. Pins the two halves of that contract:
 
-    1. wherever sigmoid is injective on the logit domain (everything but
-       deep saturation, |logit| < ~17), the selected set, order, tie
-       handling AND returned f32 scores are identical to ranking on the
-       f32 sigmoid — including bf16-tied logits, which both paths break
-       stably by anchor index;
-    2. in saturation (scores rounding to exactly 1.0 in f32) the logit
-       ranking is strictly FINER: candidates are ordered by their true
-       logit where score ranking would see an arbitrary run of 1.0 ties.
+    1. wherever f32 sigmoid is injective on the bf16 logit domain
+       (exhaustive sweep: everywhere except |logit| ≳ 14 and
+       sub-1e-7 logits), the selected set, order, tie handling AND
+       returned f32 scores are identical to ranking on the f32 sigmoid —
+       including bf16-tied logits, which both paths break stably by
+       anchor index;
+    2. where f32 sigmoid collides on distinct bf16 logits (|logit| ≳ 14,
+       saturating fully to 1.0 at ≥ 17.375) the logit ranking is strictly
+       FINER: candidates are ordered by their true logit where score
+       ranking would see an arbitrary run of equal-score ties.
     """
     import jax
     import jax.numpy as jnp
@@ -270,9 +272,10 @@ def test_logit_ranked_selection_semantics():
 
     rng = np.random.RandomState(7)
     B, A, K = 4, 512, 64
-    # dense bf16 logits with guaranteed ties (quantize to a coarse grid)
+    # dense bf16 logits with guaranteed ties (quantize to a coarse grid),
+    # clipped inside the f32-sigmoid-injective band (|logit| < 14)
     logits = jnp.asarray(
-        np.round(rng.randn(B, A) * 4) / 4, jnp.bfloat16)  # many exact ties
+        np.clip(np.round(rng.randn(B, A) * 4) / 4, -12, 12), jnp.bfloat16)
     conf_ok = jax.nn.sigmoid(logits.astype(jnp.float32)) > 0.25
 
     masked_logit = jnp.where(conf_ok, logits, -jnp.inf * jnp.ones((), logits.dtype))

@@ -139,5 +139,15 @@ def main(argv=None):
     return exported
 
 
+def cli(argv=None):
+    """Console-script entry: run main() and discard its return value.
+
+    setuptools entry points pass main()'s return to sys.exit(); main()
+    returns a result object for programmatic use, which would make every
+    successful run exit with status 1. This wrapper keeps exit status 0.
+    """
+    main(argv)
+
+
 if __name__ == "__main__":
-    main()
+    cli()

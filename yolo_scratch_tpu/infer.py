@@ -326,7 +326,10 @@ def load_deploy_model(
             ch, nc = ch or 3, nc or 80
             yx_scale = {"n": "nano", "x": "x"}.get(scale, scale)
             if yx_scale not in YOLOX_SCALES:
-                yx_scale = "s"
+                raise ValueError(
+                    f"unknown YOLOX scale {scale!r}; choose from "
+                    f"{sorted(YOLOX_SCALES)} (or 'n' for nano)"
+                )
             model = YOLOXModel.from_scale(yx_scale, nc=nc)
     else:
         if raw is not None and (ch is None or nc is None):
@@ -334,12 +337,31 @@ def load_deploy_model(
             ch, nc = ch or d_ch, nc or d_nc
         ch, nc = ch or 1, nc or 5  # reference defaults (train_yolo11_cuda.py:554)
         model = build_yolo11(cfg_path, ch=ch, nc=nc, scale=scale)
-    variables = model.init(
-        jax.random.PRNGKey(0), np.zeros((1, imgsz, imgsz, ch), np.float32)
-    )
     if loaded_torch is not None:
         variables = {"params": loaded_torch[0], "batch_stats": loaded_torch[1]}
+    elif raw is not None:
+        # The orbax tree was already read once for dims auto-detect; serve it
+        # directly — no un-jitted model.init (minutes on a 1-core host) and
+        # no second checkpoint read. Validate shapes abstractly (eval_shape
+        # traces without executing) so a forced wrong --nc/--ch fails loudly.
+        from yolo_scratch_tpu.train.checkpoints import _tree_mismatch
+
+        shapes = jax.eval_shape(
+            model.init, jax.random.PRNGKey(0),
+            jax.ShapeDtypeStruct((1, imgsz, imgsz, ch), np.float32),
+        )
+        for key in ("params", "batch_stats"):
+            mismatch = _tree_mismatch(raw.get(key), shapes.get(key, {}))
+            if mismatch:
+                raise ValueError(
+                    f"checkpoint '{which}': {key} do not match the model "
+                    f"being served ({mismatch}). Wrong --cfg/--scale/--nc/"
+                    "--ch for this checkpoint?"
+                )
+        variables = {"params": raw["params"], "batch_stats": raw["batch_stats"]}
     elif ckpt:
+        # npz-fallback checkpoints store no tree structure: restore through
+        # a target state (this is the one path that must pay model.init).
         from yolo_scratch_tpu.train.checkpoints import CheckpointManager
         from yolo_scratch_tpu.train.optim import make_optimizer
         from yolo_scratch_tpu.train.state import create_train_state
@@ -351,6 +373,10 @@ def load_deploy_model(
         mgr = CheckpointManager(ckpt)
         state, _, _, _ = mgr.try_resume(state, name=which)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+    else:
+        variables = model.init(
+            jax.random.PRNGKey(0), np.zeros((1, imgsz, imgsz, ch), np.float32)
+        )
     return model, variables
 
 
@@ -423,5 +449,15 @@ def main(argv=None):
     return results
 
 
+def cli(argv=None):
+    """Console-script entry: run main() and discard its return value.
+
+    setuptools entry points pass main()'s return to sys.exit(); main()
+    returns a result object for programmatic use, which would make every
+    successful run exit with status 1. This wrapper keeps exit status 0.
+    """
+    main(argv)
+
+
 if __name__ == "__main__":
-    main()
+    cli()

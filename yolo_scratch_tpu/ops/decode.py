@@ -217,7 +217,15 @@ def postprocess_from_feats(
 
     Same results as ``postprocess(detect_decode(feats), ...)`` (the
     candidate ranking depends only on class scores, never on boxes, so
-    selecting top-k *before* the DFL integral is exact) — but the DFL
+    selecting top-k *before* the DFL integral is exact) — with one
+    qualified exception: candidates are ranked on the raw max-logit, and
+    f32 sigmoid COLLIDES on distinct bf16 logits once |logit| ≳ 14
+    (saturating fully to 1.0 at ≥ 17.375). Among such score-colliding
+    candidates the unfused path breaks the tie by anchor index while this
+    path orders by the strictly finer true logit, so selection order (and,
+    at the top-k boundary, membership among equal-f32-score candidates)
+    can differ there. Returned f32 scores are identical either way; see
+    ``test_logit_ranked_selection_semantics``. The DFL
     softmax-expectation and dist2bbox run on only ``pre_nms_topk``
     candidates instead of all ~8400 anchors, and the dense (B, A, 4+nc)
     decoded tensor is never materialized. At B=128 this removes ~3 ms of
@@ -258,10 +266,14 @@ def postprocess_from_feats(
 
     k = min(pre_nms_topk, A)
     # Rank on the raw (bf16) max-logit, not the f32 sigmoid: sigmoid is
-    # strictly monotone, so ordering AND ties are identical (two f32
-    # sigmoid outputs are equal iff their bf16 logits compare equal, ±0
-    # included), XLA TopK breaks ties stably by index either way
-    # (verified: scripts/probe_topk.py), and the 16-bit sort key is ~8%
+    # strictly monotone, so the ordering agrees with f32-score ranking
+    # wherever f32 sigmoid is injective on the bf16 logits. It is NOT
+    # injective everywhere — distinct bf16 logits collide in f32 once
+    # |logit| ≳ 14 (full 1.0 saturation at ≥ 17.375) — and there the
+    # logit key is strictly FINER (orders by true confidence where the
+    # score key would tie arbitrarily by index; see docstring). XLA TopK
+    # breaks remaining bf16-equal ties stably by index for both keys
+    # (probed: scripts/probe_topk.py), and the 16-bit sort key is ~8%
     # faster while the dense f32 score tensor is never materialized.
     top_logits, top_idx = topk_scores(
         jnp.where(conf_ok, max_logit, -jnp.inf * jnp.ones((), max_logit.dtype)),

@@ -105,4 +105,9 @@ def barrier(mesh: Optional[Mesh] = None) -> None:
     )(x)
     n = float(np.asarray(out))
     expected = float(len(list(mesh.devices.flat)))
-    assert n == expected, (n, expected)
+    if n != expected:  # not an assert: must fire under python -O too
+        raise RuntimeError(
+            f"barrier: allreduce over the global mesh saw {n:.0f} of "
+            f"{expected:.0f} devices — some processes are missing or the "
+            "mesh is partially connected"
+        )

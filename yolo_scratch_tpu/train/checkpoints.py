@@ -24,6 +24,34 @@ def _to_numpy_tree(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _tree_leaves(tree):
+    return [] if tree is None else jax.tree_util.tree_leaves(tree)
+
+
+def _tree_mismatch(got, want) -> Optional[str]:
+    """First structural/shape difference between two pytrees as a short
+    human-readable string, or None when they match."""
+    if got is None:
+        return "missing in checkpoint"
+    got_paths = {
+        jax.tree_util.keystr(kp): np.shape(leaf)
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(got)[0]
+    }
+    want_paths = {
+        jax.tree_util.keystr(kp): np.shape(leaf)
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(want)[0]
+    }
+    for path, shape in want_paths.items():
+        if path not in got_paths:
+            return f"checkpoint lacks {path}"
+        if got_paths[path] != shape:
+            return f"{path}: checkpoint {got_paths[path]} vs model {shape}"
+    for path in got_paths:
+        if path not in want_paths:
+            return f"checkpoint has extra {path}"
+    return None
+
+
 class CheckpointManager:
     """Saves ``last`` every epoch and ``best`` on improvement.
 
@@ -173,14 +201,35 @@ class CheckpointManager:
         try:
             tree = self._restore_tree(name, target)
             opt_state = tree["opt_state"]
-        except Exception:
-            # optimizer-format drift (e.g. optax.flatten changed the
-            # opt_state structure): salvage weights/stats/step from the raw
-            # tree and keep a FRESH optimizer state. Eval paths never read
-            # opt_state; a true training resume restarts its moments.
+            restore_err = None
+        except Exception as err:
+            restore_err = err
+        if restore_err is not None:
+            # Restore-with-target failed. The benign cause is optimizer-
+            # format drift (e.g. optax.flatten changed the opt_state
+            # structure): salvage weights/stats/step from the raw tree and
+            # keep a FRESH optimizer state (eval paths never read opt_state;
+            # a true training resume restarts its moments). But only after
+            # VALIDATING that the salvaged weights match the target
+            # architecture — a wrong --scale/--nc or a missing-EMA mismatch
+            # must surface here, not as an opaque flax error later.
             raw = self.peek_raw(name)
             if raw is None:
                 raise
+            for key in ("params", "batch_stats"):
+                mismatch = _tree_mismatch(raw.get(key), target[key])
+                if mismatch:
+                    raise ValueError(
+                        f"checkpoint '{name}': {key} do not match the model "
+                        f"being restored into ({mismatch}). Wrong --cfg/"
+                        "--scale/--nc/--ch for this checkpoint?"
+                    ) from restore_err
+            if state.ema_params is not None and not _tree_leaves(raw.get("ema_params")):
+                raise ValueError(
+                    f"checkpoint '{name}' stores no EMA parameters (trained "
+                    "without EMA) — drop --ema, or resume without requesting "
+                    "EMA weights."
+                ) from restore_err
             import warnings
 
             warnings.warn(
@@ -190,6 +239,25 @@ class CheckpointManager:
             )
             tree = raw
             opt_state = state.opt_state
+        else:
+            # orbax restore-with-target accepts mismatched LEAF SHAPES when
+            # the tree structure lines up (verified: an nc=5 checkpoint
+            # restores "successfully" into an nc=80 target), so the
+            # architecture check must run on the happy path too.
+            for key in ("params", "batch_stats"):
+                mismatch = _tree_mismatch(tree.get(key), target[key])
+                if mismatch:
+                    raise ValueError(
+                        f"checkpoint '{name}': {key} do not match the model "
+                        f"being restored into ({mismatch}). Wrong --cfg/"
+                        "--scale/--nc/--ch for this checkpoint?"
+                    )
+            if state.ema_params is not None and not _tree_leaves(tree.get("ema_params")):
+                raise ValueError(
+                    f"checkpoint '{name}' stores no EMA parameters (trained "
+                    "without EMA) — drop --ema, or resume without requesting "
+                    "EMA weights."
+                )
         ema = tree["ema_params"] if state.ema_params is not None else None
         if ema is not None and isinstance(ema, dict) != isinstance(state.ema_params, dict):
             # EMA storage-format drift: per-leaf tree checkpoint into a

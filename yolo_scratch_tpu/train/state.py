@@ -94,7 +94,9 @@ def create_train_state(
     variables = model.init(rng, sample_input, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    flat_p, _ = ravel_pytree(params)
+    # Only flat_opt consumes the flattened copy; skip the full-model-size
+    # concatenation for the default per-leaf configuration.
+    flat_p = ravel_pytree(params)[0] if flat_opt else None
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
