@@ -97,3 +97,95 @@ def batched_tp_marks(
     return jax.vmap(lambda pb, pv, gb, gm: tp_marks_single(pb, pv, gb, gm, th))(
         pred_boxes, pred_valid, gt_boxes, gt_mask
     )
+
+# -- COCO area-band matching (ignore semantics) ------------------------------
+#
+# The full COCO protocol scores AP/AR inside GT-area bands
+# (small < 32^2 <= medium < 96^2 <= large, pixel^2). GTs outside the band
+# are IGNORED, not removed: a detection may still claim an ignored GT, in
+# which case it is neither TP nor FP — it vanishes from that band's
+# precision/recall entirely. An unmatched detection whose own area is
+# outside the band is likewise ignored. This mirrors pycocotools'
+# computeIoU/evaluateImg dtIg logic (cocoeval.py): per detection in score
+# order, the best still-unmatched NON-ignored GT with IoU >= t wins (TP);
+# only if none qualifies may the best ignored GT be claimed (det ignored);
+# otherwise FP unless the detection's area is out of band (ignored).
+# Our matcher is class-agnostic like the rest of the evaluator (the
+# reference quirk preserved everywhere else); pycocotools matches within
+# class. Tie-breaks on exactly equal IoUs follow argmax order (lowest GT
+# index), not pycocotools' iteration order — measure zero for real boxes.
+
+
+def tp_ign_marks_single(
+    pred_boxes: jnp.ndarray,   # (N, 4) xyxy px, SCORE-DESCENDING order
+    pred_valid: jnp.ndarray,   # (N,) bool
+    gt_boxes: jnp.ndarray,     # (G, 4) xyxy px
+    gt_mask: jnp.ndarray,      # (G,) bool
+    gt_ignore: jnp.ndarray,    # (G,) bool — in-band GTs False, out-of-band True
+    pred_in_band: jnp.ndarray, # (N,) bool — detection's own area inside band
+    thresholds: jnp.ndarray,   # (T,) f32
+) -> tuple:
+    """Greedy marks with ignore semantics -> (tp (T, N), ign (T, N))."""
+    iou = pairwise_iou(pred_boxes, gt_boxes)  # (N, G)
+    iou = jnp.where(gt_mask[None, :], iou, -1.0)
+    n, g = iou.shape
+    t = thresholds.shape[0]
+
+    def body(i, carry):
+        matched, tp, ign = carry  # (T, G), (T, N), (T, N)
+        row = jax.lax.dynamic_slice_in_dim(iou, i, 1, axis=0)  # (1, G)
+        cand = jnp.where(~matched, row, -jnp.inf)              # (T, G)
+        cn = jnp.where(~gt_ignore[None, :], cand, -jnp.inf)
+        ci = jnp.where(gt_ignore[None, :], cand, -jnp.inf)
+        bn, jn = jnp.max(cn, axis=1), jnp.argmax(cn, axis=1)   # (T,)
+        bi, ji = jnp.max(ci, axis=1), jnp.argmax(ci, axis=1)
+        valid_i = jax.lax.dynamic_slice_in_dim(pred_valid, i, 1)[0]
+        in_band_i = jax.lax.dynamic_slice_in_dim(pred_in_band, i, 1)[0]
+        tp_i = valid_i & (bn >= thresholds)                    # (T,)
+        igm_i = valid_i & ~tp_i & (bi >= thresholds)           # matched-ignored
+        j = jnp.where(tp_i, jn, ji)
+        take = jax.nn.one_hot(j, g, dtype=bool) & (tp_i | igm_i)[:, None]
+        matched = matched | take
+        ign_i = igm_i | (valid_i & ~tp_i & ~igm_i & ~in_band_i)
+        tp = jax.lax.dynamic_update_slice_in_dim(tp, tp_i[:, None], i, axis=1)
+        ign = jax.lax.dynamic_update_slice_in_dim(ign, ign_i[:, None], i, axis=1)
+        return matched, tp, ign
+
+    _, tp, ign = jax.lax.fori_loop(
+        0, n, body,
+        (jnp.zeros((t, g), bool), jnp.zeros((t, n), bool), jnp.zeros((t, n), bool)),
+    )
+    return tp, ign
+
+
+def _box_areas(boxes: jnp.ndarray) -> jnp.ndarray:
+    w = jnp.maximum(boxes[..., 2] - boxes[..., 0], 0.0)
+    h = jnp.maximum(boxes[..., 3] - boxes[..., 1], 0.0)
+    return w * h
+
+
+@partial(jax.jit, static_argnames=("thresholds", "area_lo", "area_hi"))
+def batched_tp_marks_area(
+    pred_boxes: jnp.ndarray,   # (B, N, 4) xyxy, each row score-descending
+    pred_valid: jnp.ndarray,   # (B, N) bool
+    gt_boxes: jnp.ndarray,     # (B, G, 4) xyxy (same coord space as preds)
+    gt_mask: jnp.ndarray,      # (B, G) bool
+    area_lo: float,
+    area_hi: float,
+    thresholds: tuple = DEFAULT_THRESHOLDS,
+) -> tuple:
+    """Area-band greedy marks -> (tp (B, T, N) bool, ign (B, T, N) bool).
+
+    ``area_lo <= area < area_hi`` defines the band, in the squared units of
+    the box coordinates (pass pixel-space boxes for COCO's 32^2/96^2
+    bands). Band recall denominators count in-band GTs only:
+    ``(gt_mask & (lo <= area(gt) < hi)).sum()``.
+    """
+    th = jnp.asarray(thresholds, jnp.float32)
+    g_area = _box_areas(gt_boxes)
+    gt_ignore = ~((g_area >= area_lo) & (g_area < area_hi))  # (B, G)
+    p_area = _box_areas(pred_boxes)
+    pred_in_band = (p_area >= area_lo) & (p_area < area_hi)  # (B, N)
+    return jax.vmap(
+        lambda pb, pv, gb, gm, gi, pi: tp_ign_marks_single(pb, pv, gb, gm, gi, pi, th)
+    )(pred_boxes, pred_valid, gt_boxes, gt_mask, gt_ignore, pred_in_band)

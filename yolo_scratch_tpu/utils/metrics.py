@@ -181,17 +181,26 @@ def metrics_from_marks(
     return _ap_tail(flat_tp, flat_scores, n_gt)
 
 
-def _ap_tail(flags: np.ndarray, scores: np.ndarray, n_gt: int) -> Dict[str, float]:
+def _ap_tail(
+    flags: np.ndarray, scores: np.ndarray, n_gt: int,
+    ignore: Optional[np.ndarray] = None,
+) -> Dict[str, float]:
     """Shared AP/P/R accumulation: flags (K, T) bool in any order, scores
     (K,); one stable score-descending sort, per-threshold cumsum ->
-    envelope AP. Threshold index 0 == IoU 0.5."""
+    envelope AP. Threshold index 0 == IoU 0.5.
+
+    ``ignore`` (K, T) bool, optional: detections ignored at a threshold
+    (COCO area-band semantics) are neither TP nor FP — they contribute to
+    no cumsum at that threshold (``ops.matching.batched_tp_marks_area``).
+    """
     if scores.size == 0 or n_gt == 0:
         return {"precision": 0.0, "recall": 0.0, "mAP50": 0.0, "mAP50-95": 0.0}
     order = np.argsort(-scores, kind="stable")
     flags = flags[order]
+    keep = ~ignore[order] if ignore is not None else np.ones_like(flags)
     T = flags.shape[1]
-    tp_cum = np.cumsum(flags, axis=0, dtype=np.float64)
-    fp_cum = np.cumsum(~flags, axis=0, dtype=np.float64)
+    tp_cum = np.cumsum(flags & keep, axis=0, dtype=np.float64)
+    fp_cum = np.cumsum(~flags & keep, axis=0, dtype=np.float64)
     precisions = tp_cum / (tp_cum + fp_cum + 1e-6)
     recalls = tp_cum / n_gt
 
@@ -203,16 +212,83 @@ def _ap_tail(flags: np.ndarray, scores: np.ndarray, n_gt: int) -> Dict[str, floa
         idx = np.flatnonzero(mrec[1:] != mrec[:-1])
         aps.append(float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1])))
 
-    n_tp = int(flags[:, 0].sum())
-    n_fp = int(flags.shape[0] - n_tp)
+    n_tp = int((flags & keep)[:, 0].sum())
+    n_fp = int((~flags & keep)[:, 0].sum())
     precision = n_tp / (n_tp + n_fp) if (n_tp + n_fp) > 0 else 0.0
     recall = n_tp / n_gt if n_gt > 0 else 0.0
-    return {
+    out = {
         "precision": float(precision),
         "recall": float(recall),
         "mAP50": aps[0] if aps else 0.0,
         "mAP50-95": float(np.mean(aps)) if aps else 0.0,
     }
+    if len(aps) > 5:  # DEFAULT_THRESHOLDS grid: index 5 == IoU 0.75
+        out["mAP75"] = aps[5]
+    return out
+
+
+# COCO area bands, in squared units of the box coordinate space (pass
+# pixel-space areas: small < 32^2 <= medium < 96^2 <= large). Note: COCO
+# proper measures annotation areas at ORIGINAL image resolution; this
+# evaluator sees boxes at the (letterboxed) eval resolution, so band
+# membership matches COCO only when eval resolution == native resolution.
+COCO_AREA_BANDS = {
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
+
+
+def coco_summary_from_marks(
+    tp_all: np.ndarray,    # (B, T, N) overall device marks (batched_tp_marks)
+    scores: np.ndarray,    # (B, N)
+    valid: np.ndarray,     # (B, N) bool
+    n_gt: int,
+    band_marks: Dict[str, tuple],  # name -> (tp (B,T,N), ign (B,T,N), n_gt_band)
+    max_dets: Sequence[int] = (1, 10, 100),
+) -> Dict[str, float]:
+    """Full COCO-protocol summary from device greedy marks.
+
+    Emits the pycocotools 12-metric table (class-agnostic variant — the
+    evaluator's matching ignores classes throughout, a preserved reference
+    quirk): AP / AP50 / AP75, AP per area band (ignore semantics,
+    ``ops.matching.batched_tp_marks_area``), AR@{1,10,100} and AR@100 per
+    band. AR@K slices each image's score-descending detections to its top
+    K *before* scoring — exactly the greedy matcher's marks restricted to
+    the first K columns, since a greedy mark depends only on
+    higher-scoring detections of the same image.
+    """
+    tp_all = np.asarray(tp_all)
+    scores = np.asarray(scores, np.float32)
+    valid = np.asarray(valid, bool)
+    flat_tp = tp_all.transpose(0, 2, 1)[valid]  # (K, T)
+    overall = _ap_tail(flat_tp, scores[valid], n_gt)
+    out = {
+        "AP": overall["mAP50-95"],
+        "AP50": overall["mAP50"],
+        "AP75": overall.get("mAP75", 0.0),
+    }
+    for k in max_dets:
+        if n_gt == 0:
+            out[f"AR@{k}"] = 0.0
+            continue
+        # per-threshold recall with at most k detections per image
+        r = tp_all[:, :, :k].sum(axis=(0, 2)) / n_gt  # (T,)
+        out[f"AR@{k}"] = float(np.mean(r))
+    for name, (tp_b, ign_b, n_gt_b) in band_marks.items():
+        tp_b = np.asarray(tp_b)
+        ign_b = np.asarray(ign_b)
+        m = _ap_tail(
+            tp_b.transpose(0, 2, 1)[valid], scores[valid], n_gt_b,
+            ignore=ign_b.transpose(0, 2, 1)[valid])
+        out[f"AP_{name}"] = m["mAP50-95"]
+        k = max(max_dets) if max_dets else tp_b.shape[2]
+        if n_gt_b == 0:
+            out[f"AR@{k}_{name}"] = 0.0
+        else:
+            r = tp_b[:, :, :k].sum(axis=(0, 2)) / n_gt_b
+            out[f"AR@{k}_{name}"] = float(np.mean(r))
+    return out
 
 
 def per_class_from_marks(

@@ -48,6 +48,9 @@ def main(argv=None):
     p.add_argument("--max-batches", type=int, default=None)
     p.add_argument("--cda", action="store_true", help="also compute the CDA scorer suite")
     p.add_argument("--per-class", action="store_true", help="per-class AP breakdown")
+    p.add_argument("--coco-summary", action="store_true",
+                   help="full COCO 12-metric table: AP/AP50/AP75, AP by area "
+                        "band (small/medium/large, ignore semantics), AR@1/10/100")
     p.add_argument("--ema", action="store_true", help="evaluate EMA weights")
     p.add_argument("--host-match", action="store_true",
                    help="reference-style host greedy matcher instead of device marks")
@@ -118,6 +121,7 @@ def main(argv=None):
     all_preds, all_targets = [], []
     marks, marks_cls, det_scores, det_labels, det_valid = [], [], [], [], []
     gt_label_list, gt_mask_list = [], []
+    det_boxes, gt_box_list = [], []  # --coco-summary: raw boxes for band marks
     n_gt = 0
     losses = []
     for i, batch in enumerate(loader):
@@ -137,6 +141,9 @@ def main(argv=None):
             gt_label_list.append(np.asarray(batch["gt_labels"])[sv])
             gt_mask_list.append(np.asarray(batch["gt_mask"])[sv])
             n_gt += int(np.asarray(batch["gt_mask"])[sv].sum())
+            if args.coco_summary:
+                det_boxes.append(np.asarray(boxes)[sv])
+                gt_box_list.append(np.asarray(batch["gt_bboxes"])[sv])
         if need_lists:
             preds = detections_to_lists(boxes, scores, labels, valid)
             targets = targets_to_lists(
@@ -161,6 +168,37 @@ def main(argv=None):
                 nc, class_names=class_names)
             out.update({f"class/{name}/{k}": v for name, d in per.items()
                         for k, v in d.items()})
+        if args.coco_summary and marks:
+            from yolo_scratch_tpu.ops.matching import batched_tp_marks_area
+            from yolo_scratch_tpu.utils.metrics import (
+                COCO_AREA_BANDS,
+                coco_summary_from_marks,
+            )
+
+            # band membership is by PIXEL area at eval resolution (boxes are
+            # normalized; COCO proper uses native-resolution areas)
+            pb = np.concatenate(det_boxes) * float(args.imgsz)
+            gbx = np.concatenate(gt_box_list) * float(args.imgsz)
+            pv = np.concatenate(det_valid)
+            gmk = np.concatenate(gt_mask_list)
+            areas = (gbx[..., 2] - gbx[..., 0]) * (gbx[..., 3] - gbx[..., 1])
+            bands = {}
+            chunk = 256  # bounds the vmapped (N, G) IoU working set
+            for name, (lo, hi) in COCO_AREA_BANDS.items():
+                tp_parts, ign_parts = [], []
+                for s in range(0, pb.shape[0], chunk):
+                    tp_c, ign_c = batched_tp_marks_area(
+                        pb[s:s + chunk], pv[s:s + chunk],
+                        gbx[s:s + chunk], gmk[s:s + chunk], lo, hi)
+                    tp_parts.append(np.asarray(tp_c))
+                    ign_parts.append(np.asarray(ign_c))
+                n_gt_b = int((gmk & (areas >= lo) & (areas < hi)).sum())
+                bands[name] = (
+                    np.concatenate(tp_parts), np.concatenate(ign_parts), n_gt_b)
+            summary = coco_summary_from_marks(
+                np.concatenate(marks), np.concatenate(det_scores), pv,
+                n_gt, bands)
+            out.update({f"coco/{k}": v for k, v in summary.items()})
     else:
         out.update(evaluate_detections(
             all_preds, all_targets, conf_threshold=args.conf))
