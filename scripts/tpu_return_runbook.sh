@@ -1,0 +1,34 @@
+#!/bin/bash
+# Runbook for the round-3 items blocked by the axon TPU tunnel outage.
+# Run top to bottom once `python -c "import jax; jax.devices()"` shows a
+# TPU again. Each step is independent; order is cheapest-first so a
+# flaky tunnel still yields the most valuable artifacts early.
+# NOTE (CLAUDE.md): one job at a time — the tunnel multiplexes the chip
+# and concurrent work pollutes every timing.
+set -ex
+cd "$(dirname "$0")/.."
+
+# 0. smoke: model graph on real hardware (~2 min first compile)
+timeout 1200 python __graft_entry__.py
+
+# 1. B=1 serving latency (device-resident scan; prints p50/p90 per image
+#    + per-launch distribution) — STATUS "Known gaps" item 1
+timeout 2400 python scripts/bench_latency.py --scale n --imgsz 640 | tee /tmp/latency_n.json
+
+# 2. YOLOX hardware throughput row (same deploy contract as the YOLO11
+#    scales table) — STATUS "Known gaps" item 2a
+timeout 2400 python scripts/bench_scale.py --model yolox --scale s --batch 64 --nscan 8 | tee /tmp/yolox_s_bench.json
+timeout 2400 python scripts/bench_scale.py --model yolox --scale n --batch 128 --nscan 8 | tee /tmp/yolox_nano_bench.json
+
+# 3. headline bench sanity after the round's deploy-path changes
+timeout 2400 python bench.py | tee /tmp/bench_check.json
+
+# 4. YOLOX accuracy at recipe scale (STATUS item 2b): same 600-image
+#    synthetic COCO-format set + budget as the YOLO11 recipe A/B
+#    (docs/RECIPE_AB.md). Regenerate the data if /tmp was wiped:
+[ -d /tmp/coco_synth600 ] || python scripts/gen_coco_synth.py --n 600 --out /tmp/coco_synth600
+timeout 36000 python -m yolo_scratch_tpu.train.cli \
+    --data /tmp/coco_synth600 --model yolox --scale s \
+    --epochs 80 --batch 16 --imgsz 320 \
+    --augment --mosaic 0.5 --multiscale --ema --final-epochs 10 \
+    --save-dir /tmp/yolox_recipe 2>&1 | tee /tmp/yolox_recipe.log

@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mixed-precision training (bf16 compute, f32 master weights)")
     p.add_argument("--remat", action="store_true",
                    help="gradient checkpointing (activation recompute)")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="accumulate gradients over k microbatches per step "
+                        "(--batch must be divisible by k); one microbatch's "
+                        "activation memory at k-fold effective batch")
     p.add_argument("--bn-mode", type=str, default="sync", choices=["sync", "local"],
                    help="BatchNorm under --mesh: global-batch sync-BN or DDP per-replica")
     p.add_argument("--augment", action="store_true",
@@ -143,6 +147,11 @@ def main(argv=None):
         val_idx = val_idx[pid::np_][:k_v]
     print(f"Train samples: {len(train_idx)}, Val samples: {len(val_idx)}")
 
+    if args.grad_accum < 1 or args.batch % args.grad_accum:
+        raise SystemExit(
+            f"--batch {args.batch} must be a positive multiple of "
+            f"--grad-accum {args.grad_accum}")
+
     ms_sizes = None
     if args.multiscale:
         # bucketed static shapes; each bucket divisible by 32 (P5 stride)
@@ -198,6 +207,7 @@ def main(argv=None):
         augment=aug_cfg,
         mixed_precision=args.bf16,
         remat=args.remat,
+        grad_accum=args.grad_accum,
         bn_mode=args.bn_mode,
         final_epochs=args.final_epochs,
     )

@@ -55,7 +55,8 @@ def yolox_loss_adapter(loss_cfg):
     return fn
 
 
-def build_train_step_custom(model, loss_fn, compute_dtype=None, remat: bool = False):
+def build_train_step_custom(model, loss_fn, compute_dtype=None, remat: bool = False,
+                            grad_accum: int = 1):
     """Generic unjitted step; ``loss_fn(feats, batch) -> (total, metrics)``.
 
     ``compute_dtype=jnp.bfloat16`` enables mixed precision: the forward/
@@ -67,6 +68,17 @@ def build_train_step_custom(model, loss_fn, compute_dtype=None, remat: bool = Fa
     recomputed during the backward pass instead of stored (~ +1/3 compute
     for O(layer) -> O(1) activation memory — the XLA-native equivalent of
     gradient checkpointing; lets batch/resolution scale past HBM).
+
+    ``grad_accum=k>1``: the batch (leading dim divisible by k) is split
+    into k microbatches swept by ``lax.scan`` — gradients accumulate in an
+    O(params) carry (never k stacked trees), the optimizer applies their
+    mean once. Activation memory is that of ONE microbatch, so effective
+    batch scales past HBM without remat's recompute. Semantics match
+    shard_map DDP over k replicas (each microbatch's loss normalizes over
+    its own targets, then gradients average) — NOT bit-identical to one
+    large-batch step (which normalizes over the union); BN batch
+    statistics update sequentially per microbatch (momentum applied k
+    times), vs DDP's per-replica stats.
     """
 
     def forward(p, bs, img):
@@ -76,23 +88,57 @@ def build_train_step_custom(model, loss_fn, compute_dtype=None, remat: bool = Fa
 
     fwd = jax.checkpoint(forward) if remat else forward
 
-    def step(state: TrainState, batch: Dict[str, Any]):
-        def wrapped(params):
-            p = params
+    def micro_grads(params, batch_stats, batch):
+        def wrapped(p_in):
+            p = p_in
             if compute_dtype is not None:
-                p = jax.tree_util.tree_map(lambda x: x.astype(compute_dtype), params)
+                p = jax.tree_util.tree_map(lambda x: x.astype(compute_dtype), p_in)
             img = batch["img"].astype(compute_dtype) if compute_dtype is not None else batch["img"]
-            feats, mutated = fwd(p, state.batch_stats, img)
+            feats, mutated = fwd(p, batch_stats, img)
             if compute_dtype is not None:
                 feats = jax.tree_util.tree_map(lambda f: f.astype(jnp.float32), feats)
             total, metrics = loss_fn(feats, batch)
             return total, (metrics, mutated["batch_stats"])
 
-        (loss, (metrics, new_bs)), grads = jax.value_and_grad(wrapped, has_aux=True)(state.params)
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(wrapped, has_aux=True)(params)
         if compute_dtype is not None:
             new_bs = jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), new_bs)
+        return loss, metrics, new_bs, grads
+
+    def step(state: TrainState, batch: Dict[str, Any]):
+        if grad_accum == 1:
+            loss, metrics, new_bs, grads = micro_grads(state.params, state.batch_stats, batch)
+            state = state.replace(batch_stats=new_bs).apply_gradients(grads)
+            return state, {"loss": loss, **metrics}
+
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape(grad_accum, x.shape[0] // grad_accum, *x.shape[1:]),
+            batch,
+        )
+
+        def body(carry, mb):
+            bs, g_acc, loss_acc, m_acc = carry
+            loss, metrics, new_bs, grads = micro_grads(state.params, bs, mb)
+            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+            m_acc = jax.tree_util.tree_map(jnp.add, m_acc, metrics)
+            return (new_bs, g_acc, loss_acc + loss, m_acc), None
+
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        # metrics structure comes from a cheap abstract eval (no FLOPs)
+        m_shape = jax.eval_shape(
+            lambda: micro_grads(
+                state.params, state.batch_stats,
+                jax.tree_util.tree_map(lambda x: x[0], micro))[1]
+        )
+        zero_m = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), m_shape)
+        (new_bs, g_sum, loss_sum, m_sum), _ = jax.lax.scan(
+            body, (state.batch_stats, zero_g, jnp.zeros(()), zero_m), micro
+        )
+        inv = 1.0 / grad_accum
+        grads = jax.tree_util.tree_map(lambda g: g * inv, g_sum)
+        metrics = jax.tree_util.tree_map(lambda m: m * inv, m_sum)
         state = state.replace(batch_stats=new_bs).apply_gradients(grads)
-        return state, {"loss": loss, **metrics}
+        return state, {"loss": loss_sum * inv, **metrics}
 
     return step
 

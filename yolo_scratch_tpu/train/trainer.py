@@ -52,6 +52,10 @@ class TrainerConfig:
     augment: Optional[Any] = None  # data.augment.AugmentConfig; applied on device
     mixed_precision: bool = False  # bf16 fwd/bwd, f32 master weights + loss
     remat: bool = False  # activation recompute (jax.checkpoint) in backward
+    # k>1: lax.scan over k microbatches, mean gradient applied once —
+    # effective batch scales past HBM at one microbatch's activation
+    # memory (steps.build_train_step_custom docstring for the semantics)
+    grad_accum: int = 1
     bn_mode: str = "sync"  # 'sync' (global-batch BN) | 'local' (DDP per-replica)
     # Final no-aug phase (YOLOX paper recipe: last ~15 epochs train with
     # mosaic/strong aug OFF; for YOLOX the L1 reg loss also turns ON).
@@ -149,6 +153,11 @@ class Trainer:
         compute_dtype = jnp.bfloat16 if config.mixed_precision else None
 
         if mesh is not None and config.bn_mode == "local":
+            if config.grad_accum > 1:
+                raise ValueError(
+                    "grad_accum>1 is supported on the jit-sharded (sync-BN) "
+                    "path, not the shard_map DDP (bn_mode='local') path"
+                )
             from yolo_scratch_tpu.parallel.mesh import make_ddp_train_step
 
             return make_ddp_train_step(
@@ -156,7 +165,8 @@ class Trainer:
                 remat=config.remat,
             )
         raw_step = build_train_step_custom(
-            model, loss_fn, compute_dtype=compute_dtype, remat=config.remat
+            model, loss_fn, compute_dtype=compute_dtype, remat=config.remat,
+            grad_accum=config.grad_accum,
         )
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
