@@ -3,7 +3,9 @@
 Semantics (steps.build_train_step_custom docstring): each microbatch's
 loss normalizes over its own targets, gradients average, BN statistics
 update sequentially — so k=2 must equal a hand-rolled two-pass reference
-EXACTLY (same ops, same order), and k=1 must equal the plain step.
+(same math; tolerance only for XLA compiling the scan body and the
+unrolled reference into different fusion/reduction orders), and k=1 must
+equal the plain step.
 """
 
 from pathlib import Path
@@ -137,3 +139,26 @@ def test_grad_accum_rejects_indivisible_batch():
     with pytest.raises(SystemExit, match="multiple of"):
         cli_main(["--data", "synthetic", "--epochs", "1",
                   "--batch", "6", "--grad-accum", "4", "--imgsz", "96"])
+
+
+def test_grad_accum_on_dp_mesh():
+    """jit-sharded (sync-BN) path with grad_accum=2: the microbatch reshape
+    of a dp-sharded batch compiles under GSPMD and the step stays finite
+    and replicated. Microbatch size must remain divisible by the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from yolo_scratch_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+
+    model, state, batch, loss_fn = _setup(imgsz=64, batch=8)
+    mesh = make_mesh(4)
+    raw = build_train_step_custom(model, loss_fn, grad_accum=2)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("dp"))
+    step = jax.jit(raw, in_shardings=(repl, data), out_shardings=(repl, repl))
+    s2, metrics = step(replicate(state, mesh), shard_batch(batch, mesh))
+    assert np.isfinite(float(metrics["loss"]))
+    for leaf in jax.tree_util.tree_leaves((s2.params, s2.batch_stats)):
+        assert np.isfinite(np.asarray(leaf)).all()
