@@ -5,7 +5,7 @@
 # flaky tunnel still yields the most valuable artifacts early.
 # NOTE (CLAUDE.md): one job at a time — the tunnel multiplexes the chip
 # and concurrent work pollutes every timing.
-set -ex
+set -exo pipefail  # pipefail: a timeout/crash must not be masked by tee
 cd "$(dirname "$0")/.."
 
 # 0. smoke: model graph on real hardware (~2 min first compile)

@@ -86,8 +86,10 @@ def test_grad_accum_two_matches_manual_reference():
 
     @jax.jit
     def manual(state, batch):
-        mb1 = jax.tree_util.tree_map(lambda x: x[:2], batch)
-        mb2 = jax.tree_util.tree_map(lambda x: x[2:], batch)
+        # the step uses a STRIDED split (microbatch i = rows i::k) so each
+        # scan iteration stays device-local under a dp-sharded batch
+        mb1 = jax.tree_util.tree_map(lambda x: x[0::2], batch)
+        mb2 = jax.tree_util.tree_map(lambda x: x[1::2], batch)
         (l1, (m1, bs1)), g1 = jax.value_and_grad(wrapped, has_aux=True)(
             state.params, state.batch_stats, mb1)
         (l2, (m2, bs2)), g2 = jax.value_and_grad(wrapped, has_aux=True)(

@@ -33,6 +33,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from yolo_scratch_tpu.ops.boxes import pairwise_iou
 
@@ -164,28 +165,43 @@ def _box_areas(boxes: jnp.ndarray) -> jnp.ndarray:
     return w * h
 
 
-@partial(jax.jit, static_argnames=("thresholds", "area_lo", "area_hi"))
+@partial(jax.jit, static_argnames=("thresholds",))
+def _batched_tp_ign_marks(
+    pred_boxes, pred_valid, gt_boxes, gt_mask, gt_ignore, pred_in_band,
+    thresholds: tuple = DEFAULT_THRESHOLDS,
+):
+    """Jitted core: band membership comes in as TRACED mask arguments, so
+    one compile serves every area band (and any other ignore policy)."""
+    th = jnp.asarray(thresholds, jnp.float32)
+    return jax.vmap(
+        lambda pb, pv, gb, gm, gi, pi: tp_ign_marks_single(pb, pv, gb, gm, gi, pi, th)
+    )(pred_boxes, pred_valid, gt_boxes, gt_mask, gt_ignore, pred_in_band)
+
+
 def batched_tp_marks_area(
-    pred_boxes: jnp.ndarray,   # (B, N, 4) xyxy, each row score-descending
-    pred_valid: jnp.ndarray,   # (B, N) bool
-    gt_boxes: jnp.ndarray,     # (B, G, 4) xyxy (same coord space as preds)
-    gt_mask: jnp.ndarray,      # (B, G) bool
+    pred_boxes,                # (B, N, 4) xyxy, each row score-descending
+    pred_valid,                # (B, N) bool
+    gt_boxes,                  # (B, G, 4) xyxy (same coord space as preds)
+    gt_mask,                   # (B, G) bool
     area_lo: float,
     area_hi: float,
     thresholds: tuple = DEFAULT_THRESHOLDS,
 ) -> tuple:
-    """Area-band greedy marks -> (tp (B, T, N) bool, ign (B, T, N) bool).
+    """Area-band greedy marks -> (tp (B, T, N), ign (B, T, N), n_gt_band).
 
-    ``area_lo <= area < area_hi`` defines the band, in the squared units of
-    the box coordinates (pass pixel-space boxes for COCO's 32^2/96^2
-    bands). Band recall denominators count in-band GTs only:
-    ``(gt_mask & (lo <= area(gt) < hi)).sum()``.
+    ``area_lo <= area < area_hi`` defines the band, in the squared units
+    of the box coordinates (pass pixel-space boxes for COCO's 32^2/96^2
+    bands). ``n_gt_band`` (int) is the band's recall denominator, counted
+    from the SAME membership predicate the matcher uses (areas clamp
+    negative extents to zero) so denominator and marks cannot drift.
     """
-    th = jnp.asarray(thresholds, jnp.float32)
-    g_area = _box_areas(gt_boxes)
-    gt_ignore = ~((g_area >= area_lo) & (g_area < area_hi))  # (B, G)
-    p_area = _box_areas(pred_boxes)
-    pred_in_band = (p_area >= area_lo) & (p_area < area_hi)  # (B, N)
-    return jax.vmap(
-        lambda pb, pv, gb, gm, gi, pi: tp_ign_marks_single(pb, pv, gb, gm, gi, pi, th)
-    )(pred_boxes, pred_valid, gt_boxes, gt_mask, gt_ignore, pred_in_band)
+    g_area = _box_areas(jnp.asarray(gt_boxes))
+    gt_in_band = (g_area >= area_lo) & (g_area < area_hi)     # (B, G)
+    p_area = _box_areas(jnp.asarray(pred_boxes))
+    pred_in_band = (p_area >= area_lo) & (p_area < area_hi)   # (B, N)
+    tp, ign = _batched_tp_ign_marks(
+        pred_boxes, pred_valid, gt_boxes, gt_mask, ~gt_in_band, pred_in_band,
+        thresholds,
+    )
+    n_gt_band = int(np.asarray(jnp.asarray(gt_mask) & gt_in_band).sum())
+    return tp, ign, n_gt_band

@@ -32,7 +32,9 @@ def _tree_mismatch(got, want) -> Optional[str]:
     """First structural/shape difference between two pytrees as a short
     human-readable string, or None when they match."""
     if got is None:
-        return "missing in checkpoint"
+        # an empty target (e.g. a BN-free model's batch_stats) matches a
+        # checkpoint that stored nothing for the key
+        return None if not _tree_leaves(want) else "missing in checkpoint"
     got_paths = {
         jax.tree_util.keystr(kp): np.shape(leaf)
         for kp, leaf in jax.tree_util.tree_flatten_with_path(got)[0]

@@ -113,6 +113,11 @@ def make_datasets(args):
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    if args.grad_accum < 1 or args.batch % args.grad_accum:
+        raise SystemExit(
+            f"--batch {args.batch} must be a positive multiple of "
+            f"--grad-accum {args.grad_accum}")
+
     from yolo_scratch_tpu.data.loader import Loader
     from yolo_scratch_tpu.models.builder import build_yolo11
     from yolo_scratch_tpu.train.trainer import Trainer, TrainerConfig
@@ -146,11 +151,6 @@ def main(argv=None):
         train_idx = train_idx[pid::np_][:k_t]
         val_idx = val_idx[pid::np_][:k_v]
     print(f"Train samples: {len(train_idx)}, Val samples: {len(val_idx)}")
-
-    if args.grad_accum < 1 or args.batch % args.grad_accum:
-        raise SystemExit(
-            f"--batch {args.batch} must be a positive multiple of "
-            f"--grad-accum {args.grad_accum}")
 
     ms_sizes = None
     if args.multiscale:

@@ -111,8 +111,17 @@ def build_train_step_custom(model, loss_fn, compute_dtype=None, remat: bool = Fa
             state = state.replace(batch_stats=new_bs).apply_gradients(grads)
             return state, {"loss": loss, **metrics}
 
+        # STRIDED split (microbatch i = rows i, i+k, i+2k, ...): under a dp
+        # mesh with the batch axis sharded, every microbatch then draws
+        # B/(k*d) rows from EVERY device's contiguous shard, so each scan
+        # iteration stays device-local — a contiguous split would leave
+        # microbatch i on d/k devices and force GSPMD to reshard per step.
+        # Any partition is semantically valid (mean of per-microbatch
+        # gradients either way).
         micro = jax.tree_util.tree_map(
-            lambda x: x.reshape(grad_accum, x.shape[0] // grad_accum, *x.shape[1:]),
+            lambda x: x.reshape(
+                x.shape[0] // grad_accum, grad_accum, *x.shape[1:]
+            ).swapaxes(0, 1),
             batch,
         )
 

@@ -184,6 +184,7 @@ def metrics_from_marks(
 def _ap_tail(
     flags: np.ndarray, scores: np.ndarray, n_gt: int,
     ignore: Optional[np.ndarray] = None,
+    ap75_index: Optional[int] = None,
 ) -> Dict[str, float]:
     """Shared AP/P/R accumulation: flags (K, T) bool in any order, scores
     (K,); one stable score-descending sort, per-threshold cumsum ->
@@ -192,6 +193,11 @@ def _ap_tail(
     ``ignore`` (K, T) bool, optional: detections ignored at a threshold
     (COCO area-band semantics) are neither TP nor FP — they contribute to
     no cumsum at that threshold (``ops.matching.batched_tp_marks_area``).
+
+    ``ap75_index``: when set, additionally emit ``mAP75`` = that
+    threshold index's AP. Opt-in so callers with non-default threshold
+    grids (or schema-sensitive consumers of metrics_from_marks /
+    per_class_from_marks) are unaffected.
     """
     if scores.size == 0 or n_gt == 0:
         return {"precision": 0.0, "recall": 0.0, "mAP50": 0.0, "mAP50-95": 0.0}
@@ -222,8 +228,8 @@ def _ap_tail(
         "mAP50": aps[0] if aps else 0.0,
         "mAP50-95": float(np.mean(aps)) if aps else 0.0,
     }
-    if len(aps) > 5:  # DEFAULT_THRESHOLDS grid: index 5 == IoU 0.75
-        out["mAP75"] = aps[5]
+    if ap75_index is not None:
+        out["mAP75"] = aps[ap75_index] if len(aps) > ap75_index else 0.0
     return out
 
 
@@ -253,16 +259,19 @@ def coco_summary_from_marks(
     evaluator's matching ignores classes throughout, a preserved reference
     quirk): AP / AP50 / AP75, AP per area band (ignore semantics,
     ``ops.matching.batched_tp_marks_area``), AR@{1,10,100} and AR@100 per
-    band. AR@K slices each image's score-descending detections to its top
-    K *before* scoring — exactly the greedy matcher's marks restricted to
-    the first K columns, since a greedy mark depends only on
-    higher-scoring detections of the same image.
+    band. Every AP (and the per-band AR) is scored at
+    ``maxDets = max(max_dets)`` detections per image, like pycocotools'
+    AP@maxDets=100 — slicing each image's score-descending detections to
+    its top K is exact because a greedy mark depends only on
+    higher-scoring detections of the same image; AR@K slices further per K.
     """
-    tp_all = np.asarray(tp_all)
-    scores = np.asarray(scores, np.float32)
-    valid = np.asarray(valid, bool)
+    max_d = max(max_dets) if max_dets else np.asarray(tp_all).shape[2]
+    # pycocotools scores AP over the top maxDets detections per image
+    tp_all = np.asarray(tp_all)[:, :, :max_d]
+    scores = np.asarray(scores, np.float32)[:, :max_d]
+    valid = np.asarray(valid, bool)[:, :max_d]
     flat_tp = tp_all.transpose(0, 2, 1)[valid]  # (K, T)
-    overall = _ap_tail(flat_tp, scores[valid], n_gt)
+    overall = _ap_tail(flat_tp, scores[valid], n_gt, ap75_index=5)
     out = {
         "AP": overall["mAP50-95"],
         "AP50": overall["mAP50"],
@@ -276,13 +285,13 @@ def coco_summary_from_marks(
         r = tp_all[:, :, :k].sum(axis=(0, 2)) / n_gt  # (T,)
         out[f"AR@{k}"] = float(np.mean(r))
     for name, (tp_b, ign_b, n_gt_b) in band_marks.items():
-        tp_b = np.asarray(tp_b)
-        ign_b = np.asarray(ign_b)
+        tp_b = np.asarray(tp_b)[:, :, :max_d]
+        ign_b = np.asarray(ign_b)[:, :, :max_d]
         m = _ap_tail(
             tp_b.transpose(0, 2, 1)[valid], scores[valid], n_gt_b,
             ignore=ign_b.transpose(0, 2, 1)[valid])
         out[f"AP_{name}"] = m["mAP50-95"]
-        k = max(max_dets) if max_dets else tp_b.shape[2]
+        k = max_d
         if n_gt_b == 0:
             out[f"AR@{k}_{name}"] = 0.0
         else:

@@ -181,18 +181,18 @@ def main(argv=None):
             gbx = np.concatenate(gt_box_list) * float(args.imgsz)
             pv = np.concatenate(det_valid)
             gmk = np.concatenate(gt_mask_list)
-            areas = (gbx[..., 2] - gbx[..., 0]) * (gbx[..., 3] - gbx[..., 1])
             bands = {}
             chunk = 256  # bounds the vmapped (N, G) IoU working set
             for name, (lo, hi) in COCO_AREA_BANDS.items():
                 tp_parts, ign_parts = [], []
+                n_gt_b = 0
                 for s in range(0, pb.shape[0], chunk):
-                    tp_c, ign_c = batched_tp_marks_area(
+                    tp_c, ign_c, n_c = batched_tp_marks_area(
                         pb[s:s + chunk], pv[s:s + chunk],
                         gbx[s:s + chunk], gmk[s:s + chunk], lo, hi)
                     tp_parts.append(np.asarray(tp_c))
                     ign_parts.append(np.asarray(ign_c))
-                n_gt_b = int((gmk & (areas >= lo) & (areas < hi)).sum())
+                    n_gt_b += n_c
                 bands[name] = (
                     np.concatenate(tp_parts), np.concatenate(ign_parts), n_gt_b)
             summary = coco_summary_from_marks(
