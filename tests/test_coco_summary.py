@@ -201,9 +201,49 @@ def test_val_cli_coco_summary():
     for key in ["coco/AP", "coco/AP50", "coco/AP75",
                 "coco/AP_small", "coco/AP_medium", "coco/AP_large",
                 "coco/AR@1", "coco/AR@10", "coco/AR@100",
-                "coco/AR@100_small", "coco/AR@100_medium", "coco/AR@100_large"]:
+                "coco/AR@100_small", "coco/AR@100_medium", "coco/AR@100_large",
+                "coco/AP_strict", "coco/AP50_strict", "coco/AP75_strict"]:
         assert key in out, key
     # coco/AP is scored at maxDets=100 (pycocotools protocol); the plain
     # mAP50-95 uses every max_det detection, so only ordering is asserted
     assert out["coco/AP"] <= out["mAP50-95"] + 1e-9
     assert out["coco/AR@1"] <= out["coco/AR@10"] <= out["coco/AR@100"]
+
+
+def test_strict_ap_equals_mean_per_class():
+    """coco_strict_ap_from_marks == mean over classes-with-GTs of the
+    per-class AP table (same class-restricted marks, cap not binding)."""
+    from yolo_scratch_tpu.utils.metrics import (
+        coco_strict_ap_from_marks,
+        per_class_from_marks,
+    )
+
+    rng = np.random.RandomState(3)
+    B, N, G, NC = 4, 20, 8, 4
+    scenes = [_random_scene(rng, n=N, g=G) for _ in range(B)]
+    pb = jnp.asarray(np.stack([s[0] for s in scenes]))
+    scores = np.stack([s[1] for s in scenes])
+    pv = np.stack([s[2] for s in scenes])
+    gb = jnp.asarray(np.stack([s[3] for s in scenes]))
+    gm = np.stack([s[4] for s in scenes])
+    pl = rng.randint(0, NC, (B, N)).astype(np.int32)
+    gl = rng.randint(0, NC, (B, G)).astype(np.int32)
+    # make the overlapped preds share their GT's class so TPs exist
+    pl[:, :G // 2] = gl[:, :G // 2]
+
+    marks_cls = batched_tp_marks(
+        pb, jnp.asarray(pv), gb, jnp.asarray(gm),
+        pred_labels=jnp.asarray(pl), gt_labels=jnp.asarray(gl))
+
+    strict = coco_strict_ap_from_marks(marks_cls, scores, pl, pv, gl, gm, NC)
+    per = per_class_from_marks(marks_cls, scores, pl, pv, gl, gm, NC)
+    gt_flat = gl[gm.astype(bool)]
+    want = [per[str(c)]["AP50-95"] for c in range(NC) if (gt_flat == c).sum()]
+    assert strict["classes_evaluated"] == len(want)
+    assert strict["AP_strict"] == pytest.approx(float(np.mean(want)))
+    assert 0.0 < strict["AP_strict"] <= 1.0
+
+    # maxDets cap binds: capping to 1 det/class/image can only lower AP
+    capped = coco_strict_ap_from_marks(
+        marks_cls, scores, pl, pv, gl, gm, NC, max_det=1)
+    assert capped["AP_strict"] <= strict["AP_strict"] + 1e-9

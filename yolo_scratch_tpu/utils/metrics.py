@@ -300,6 +300,56 @@ def coco_summary_from_marks(
     return out
 
 
+def coco_strict_ap_from_marks(
+    tp_marks_cls: np.ndarray,  # (B, T, N) bool — CLASS-RESTRICTED device marks
+    scores: np.ndarray,        # (B, N), each row score-descending
+    labels: np.ndarray,        # (B, N) int detection labels
+    valid: np.ndarray,         # (B, N) bool
+    gt_labels: np.ndarray,     # (B, G) int
+    gt_mask: np.ndarray,       # (B, G) bool
+    num_classes: int,
+    max_det: int = 100,
+) -> Dict[str, float]:
+    """COCO-STRICT AP: per-class AP averaged over classes with GTs — the
+    actual pycocotools headline definition (category-aware matching via
+    the class-restricted marks, maxDets per image PER CATEGORY, classes
+    without ground truth excluded from the mean). Complements the
+    class-agnostic ``coco_summary_from_marks`` (which preserves the
+    reference evaluator's quirk of matching across classes).
+    """
+    tp_marks_cls = np.asarray(tp_marks_cls)
+    scores = np.asarray(scores, np.float32)
+    labels = np.asarray(labels)
+    valid = np.asarray(valid, bool)
+    gt_flat = np.asarray(gt_labels)[np.asarray(gt_mask, bool)]
+
+    aps50_95, aps50, aps75 = [], [], []
+    for c in range(num_classes):
+        n_gt_c = int((gt_flat == c).sum())
+        if n_gt_c == 0:
+            continue  # pycocotools: AP=-1, excluded from the mean
+        sel = (labels == c) & valid  # (B, N)
+        # pycocotools trims detections to maxDets per image per category;
+        # rows are score-descending, so "first max_det class-c dets of
+        # each row" == cumulative-count cap
+        sel &= np.cumsum(sel, axis=1) <= max_det
+        m = _ap_tail(
+            tp_marks_cls.transpose(0, 2, 1)[sel], scores[sel], n_gt_c,
+            ap75_index=5)
+        aps50_95.append(m["mAP50-95"])
+        aps50.append(m["mAP50"])
+        aps75.append(m.get("mAP75", 0.0))
+    if not aps50_95:
+        return {"AP_strict": 0.0, "AP50_strict": 0.0, "AP75_strict": 0.0,
+                "classes_evaluated": 0}
+    return {
+        "AP_strict": float(np.mean(aps50_95)),
+        "AP50_strict": float(np.mean(aps50)),
+        "AP75_strict": float(np.mean(aps75)),
+        "classes_evaluated": len(aps50_95),
+    }
+
+
 def per_class_from_marks(
     tp_marks_cls: np.ndarray,  # (B, T, N) bool — CLASS-RESTRICTED device marks
     scores: np.ndarray,        # (B, N)

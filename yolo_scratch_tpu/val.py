@@ -115,7 +115,7 @@ def main(argv=None):
         model, loss_cfg, conf_threshold=args.conf, iou_threshold=args.iou,
         use_ema=args.ema, loss_fn=loss_fn, decode_fn=decode_fn,
         match_thresholds=DEFAULT_THRESHOLDS if device_match else None,
-        per_class=args.per_class and device_match,
+        per_class=(args.per_class or args.coco_summary) and device_match,
     )
 
     all_preds, all_targets = [], []
@@ -133,7 +133,7 @@ def main(argv=None):
         sv = np.asarray(batch.get("sample_valid", np.ones(batch["img"].shape[0], bool)))
         if device_match:
             marks.append(np.asarray(out[2])[sv])
-            if args.per_class:
+            if args.per_class or args.coco_summary:
                 marks_cls.append(np.asarray(out[3])[sv])
             det_scores.append(np.asarray(scores)[sv])
             det_labels.append(np.asarray(labels)[sv])
@@ -198,6 +198,17 @@ def main(argv=None):
             summary = coco_summary_from_marks(
                 np.concatenate(marks), np.concatenate(det_scores), pv,
                 n_gt, bands)
+            if marks_cls:
+                from yolo_scratch_tpu.utils.metrics import (
+                    coco_strict_ap_from_marks,
+                )
+
+                # the real pycocotools headline: per-class AP averaged
+                # over classes with GTs (category-aware matching)
+                summary.update(coco_strict_ap_from_marks(
+                    np.concatenate(marks_cls), np.concatenate(det_scores),
+                    np.concatenate(det_labels), pv,
+                    np.concatenate(gt_label_list), gmk, nc))
             out.update({f"coco/{k}": v for k, v in summary.items()})
     else:
         out.update(evaluate_detections(
