@@ -207,3 +207,37 @@ def test_forward_shapes_no_reference():
     ]
     y = jmodel.decode(feats)
     assert y.shape == (1, 16 * 16 + 8 * 8 + 4 * 4, 4 + 5)
+
+
+@requires_reference
+def test_decoded_inference_parity_s_scale(reference_path):
+    """End-to-end decoded parity (DFL expectation + anchors + strides) on
+    transplanted weights at s-scale — decode was golden only at n before;
+    s exercises wider heads under the same static-anchor decode."""
+    import torch
+
+    from yolo_scratch_tpu.models.builder import build_yolo11
+    from yolo_scratch_tpu.utils.torch_import import convert_reference_state_dict
+
+    tmodel = _torch_model_at_scale(reference_path, "s")
+    tmodel.eval()
+    # repair the reference's stomped DFL arange conv (see the n-scale
+    # fixture comment / PARITY.md quirk 2) so decode compares the math
+    for m in tmodel.modules():
+        if type(m).__name__ == "DFL":
+            m.conv.weight.data[:] = torch.arange(
+                16, dtype=torch.float32).view(1, 16, 1, 1)
+    jmodel = build_yolo11(CFG, ch=1, nc=5, scale="s")
+    params, batch_stats = convert_reference_state_dict(tmodel.state_dict())
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    rng = np.random.RandomState(7)
+    x = rng.rand(1, 160, 160, 1).astype(np.float32)
+    with torch.no_grad():
+        ty, _ = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))  # (B, 4+nc, A)
+    jfeats = jmodel.apply(variables, x, train=False)
+    jy = jmodel.decode(jfeats)  # (B, A, 4+nc)
+
+    np.testing.assert_allclose(
+        ty.numpy().transpose(0, 2, 1), np.asarray(jy), rtol=1e-3, atol=2e-4
+    )
