@@ -120,15 +120,17 @@ def test_console_script_wrappers_discard_return(monkeypatch):
 
     import yolo_scratch_tpu.export as export_mod
     import yolo_scratch_tpu.infer as infer_mod
+    import yolo_scratch_tpu.serve as serve_mod
     import yolo_scratch_tpu.train.cli as train_mod
     import yolo_scratch_tpu.val as val_mod
 
     pyproject = Path(__file__).resolve().parent.parent / "pyproject.toml"
     scripts = tomllib.loads(pyproject.read_text())["project"]["scripts"]
-    assert set(scripts) == {"yst-train", "yst-val", "yst-infer", "yst-export"}
+    assert set(scripts) == {
+        "yst-train", "yst-val", "yst-infer", "yst-export", "yst-serve"}
     for target in scripts.values():
         assert target.endswith(":cli"), target
 
-    for mod in (train_mod, val_mod, infer_mod, export_mod):
+    for mod in (train_mod, val_mod, infer_mod, export_mod, serve_mod):
         monkeypatch.setattr(mod, "main", lambda argv=None: {"not": "an int"})
         assert mod.cli([]) is None

@@ -1,0 +1,134 @@
+"""Serving daemon: dynamic batching + HTTP endpoint, end-to-end in-process."""
+
+import io
+import json
+import threading
+import urllib.request
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+
+CFG = str(Path(__file__).resolve().parent.parent
+          / "yolo_scratch_tpu/configs/yolo11_crater.yaml")
+
+
+def _png_bytes(rng, w=100, h=80):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray((rng.rand(h, w) * 255).astype(np.uint8), mode="L").save(
+        buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def served():
+    from yolo_scratch_tpu.infer import Predictor, PredictorConfig
+    from yolo_scratch_tpu.models.builder import build_yolo11
+    from yolo_scratch_tpu.serve import BatchingServer, make_http_server
+
+    model = build_yolo11(CFG, ch=1, nc=5, scale="n")
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 96, 96, 1), np.float32))
+    pred = Predictor(model, variables, PredictorConfig(
+        img_size=96, batch_size=4, conf_threshold=0.01))
+    batching = BatchingServer(pred, max_wait_ms=150.0)
+    httpd = make_http_server(batching, port=0)  # ephemeral port
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield url, batching
+    httpd.shutdown()
+    batching.close()
+
+
+def test_healthz(served):
+    url, _ = served
+    with urllib.request.urlopen(f"{url}/healthz", timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["ok"] is True
+    assert "stats" in body
+
+
+def test_detect_roundtrip(served):
+    url, _ = served
+    rng = np.random.RandomState(0)
+    req = urllib.request.Request(
+        f"{url}/v1/detect", data=_png_bytes(rng), method="POST")
+    with urllib.request.urlopen(req, timeout=300) as r:
+        body = json.loads(r.read())
+    assert set(body) == {"boxes", "scores", "labels"}
+    for b in body["boxes"]:  # original-image pixel space (100x80 input)
+        x1, y1, x2, y2 = b
+        assert 0 <= x1 <= x2 <= 100 and 0 <= y1 <= y2 <= 80
+
+
+def test_concurrent_requests_coalesce(served):
+    """Requests issued together land in fewer device batches than requests
+    (the batching window coalesces them) and every one gets an answer."""
+    url, batching = served
+    rng = np.random.RandomState(1)
+    payloads = [_png_bytes(rng) for _ in range(6)]
+    results = [None] * 6
+
+    def post(i):
+        req = urllib.request.Request(
+            f"{url}/v1/detect", data=payloads[i], method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            results[i] = json.loads(r.read())
+
+    b0 = batching.stats["batches"]
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r is not None and "boxes" in r for r in results)
+    assert batching.stats["batches"] - b0 < 6  # coalesced (batch size 4)
+
+
+def test_bad_requests(served):
+    url, _ = served
+    req = urllib.request.Request(f"{url}/v1/detect", data=b"", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(f"{url}/nope", timeout=30)
+    assert e.value.code == 404
+    # garbage bytes -> 500 with an error message, server stays alive
+    req = urllib.request.Request(
+        f"{url}/v1/detect", data=b"not an image", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=300)
+    assert e.value.code == 500
+    with urllib.request.urlopen(f"{url}/healthz", timeout=30) as r:
+        assert json.loads(r.read())["ok"] is True
+
+
+def test_poisoned_request_does_not_fail_neighbors(served):
+    """A garbage payload coalesced with good ones fails ALONE."""
+    url, _ = served
+    rng = np.random.RandomState(2)
+    payloads = [_png_bytes(rng), b"this is not an image", _png_bytes(rng)]
+    codes = [None] * 3
+
+    def post(i):
+        req = urllib.request.Request(
+            f"{url}/v1/detect", data=payloads[i], method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=300) as r:
+                codes[i] = r.status
+        except urllib.error.HTTPError as e:
+            codes[i] = e.code
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert codes[0] == 200 and codes[2] == 200  # neighbors unaffected
+    assert codes[1] == 500                      # the poison fails alone

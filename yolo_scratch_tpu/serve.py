@@ -1,0 +1,248 @@
+"""HTTP serving daemon: dynamic request batching over the Predictor.
+
+The torch reference has no serving story (deploy = rerunning its eval
+script); this closes the production loop around the existing deploy
+stack: requests arriving within a small window are coalesced into ONE
+fixed-shape device batch (the jit program compiles once — batches are
+padded, never reshaped), run through the fused bf16 u8->detections
+pipeline (``infer.Predictor``), and fanned back out per request.
+
+Design (TPU-first):
+  * one device-feeding worker thread — a single in-flight program keeps
+    the chip busy without interleaving competing launches (the axon
+    tunnel serializes them anyway);
+  * request queue -> batch former: waits up to ``max_wait_ms`` after the
+    first queued request for the batch to fill, then pads the remainder
+    (repeating the last row) so the device shape is static;
+  * stdlib only (ThreadingHTTPServer + concurrent.futures): a serving
+    process needs jax + this package, nothing else.
+
+Endpoints:
+  POST /v1/detect   body = raw image bytes (png/jpg) -> JSON
+                    {"boxes": [[x1,y1,x2,y2]...] original-pixel xyxy,
+                     "scores": [...], "labels": [...]}
+  GET  /healthz     {"ok": true, "model": ..., "stats": {...}}
+
+Run: ``python -m yolo_scratch_tpu.serve --ckpt runs/crater --port 8008``
+(or the ``yst-serve`` console script).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import tempfile
+import threading
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+
+class BatchingServer:
+    """Coalesces concurrent detect requests into fixed-shape device batches."""
+
+    def __init__(self, predictor, max_wait_ms: float = 5.0):
+        self.predictor = predictor
+        self.max_wait_s = max_wait_ms / 1e3
+        self._q: "queue.Queue[Optional[tuple]]" = queue.Queue()
+        self.stats = {"requests": 0, "batches": 0, "batch_rows": 0}
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # -- client side ---------------------------------------------------------
+
+    def submit(self, image_bytes: bytes) -> Future:
+        """Enqueue one image; the Future resolves to the response dict."""
+        fut: Future = Future()
+        self._q.put((image_bytes, fut))
+        self.stats["requests"] += 1
+        return fut
+
+    def close(self):
+        self._q.put(None)
+        self._worker.join(timeout=10)
+
+    # -- device-feeding worker -------------------------------------------------
+
+    def _form_batch(self):
+        """Block for the first request, then wait up to max_wait_s for more
+        (up to the predictor's static batch size). None = shutdown."""
+        first = self._q.get()
+        if first is None:
+            return None
+        entries = [first]
+        B = self.predictor.cfg.batch_size
+        import time
+
+        deadline = time.monotonic() + self.max_wait_s
+        while len(entries) < B:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if nxt is None:  # propagate shutdown after this batch
+                self._q.put(None)
+                break
+            entries.append(nxt)
+        return entries
+
+    def _run(self):
+        pred = self.predictor
+        B = pred.cfg.batch_size
+        while True:
+            entries = self._form_batch()
+            if entries is None:
+                return
+            n = len(entries)
+            self.stats["batches"] += 1
+            self.stats["batch_rows"] += n
+            # the native/cv2 decode tier reads files; spool the request
+            # bodies to tmp (RAM-backed on most deploys) and reuse the
+            # whole batched _prepare path, padding to the static shape
+            with tempfile.TemporaryDirectory() as td:
+                paths = []
+                for i, (blob, _) in enumerate(entries):
+                    p = os.path.join(td, f"r{i}.bin")
+                    with open(p, "wb") as fh:
+                        fh.write(blob)
+                    paths.append(p)
+                try:
+                    imgs, meta = pred._prepare(paths + [paths[-1]] * (B - n))
+                except Exception:  # noqa: BLE001
+                    # a poisoned request must not fail its batch neighbors:
+                    # isolate by decoding each row alone, substituting
+                    # zeros (and failing that future) for undecodable ones
+                    S, ch = pred.cfg.img_size, pred.in_ch
+                    imgs = np.zeros((B, S, S, ch),
+                                    np.uint8 if pred.cfg.u8_transfer else np.float32)
+                    meta = np.zeros((B, 5), np.float32)
+                    for i, (path, (_, fut)) in enumerate(zip(paths, entries)):
+                        try:
+                            im1, me1 = pred._prepare([path])
+                            imgs[i], meta[i] = im1[0], me1[0]
+                        except Exception as row_err:  # noqa: BLE001
+                            fut.set_exception(row_err)
+                try:
+                    out = pred._infer(pred.variables, imgs)
+                    boxes, scores, labels, valid = [np.asarray(o) for o in out]
+                    for j, (_, fut) in enumerate(entries):
+                        if fut.done():  # its row failed to decode
+                            continue
+                        v = valid[j]
+                        fut.set_result({
+                            "boxes": pred._unmap_boxes(
+                                boxes[j][v], meta[j]).tolist(),
+                            "scores": scores[j][v].tolist(),
+                            "labels": labels[j][v].tolist(),
+                        })
+                except Exception as err:  # noqa: BLE001 — device failure
+                    for _, fut in entries:
+                        if not fut.done():
+                            fut.set_exception(err)
+
+
+def make_http_server(batching: BatchingServer, host: str = "127.0.0.1",
+                     port: int = 8008, model_name: str = "yolo11",
+                     timeout_s: float = 60.0) -> ThreadingHTTPServer:
+    """Wrap a BatchingServer in a stdlib threaded HTTP server."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet; stats live in /healthz
+            pass
+
+        def _json(self, code: int, payload: dict):
+            blob = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+            self.wfile.write(blob)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True, "model": model_name,
+                                 "stats": dict(batching.stats)})
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/v1/detect":
+                self._json(404, {"error": f"unknown path {self.path}"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            if length <= 0:
+                self._json(400, {"error": "empty body; POST raw image bytes"})
+                return
+            blob = self.rfile.read(length)
+            try:
+                result = batching.submit(blob).result(timeout=timeout_s)
+                self._json(200, result)
+            except Exception as err:  # noqa: BLE001
+                self._json(500, {"error": str(err)})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None):
+    import argparse
+
+    from yolo_scratch_tpu.infer import Predictor, PredictorConfig, load_deploy_model
+
+    p = argparse.ArgumentParser(description="Batched detection serving daemon")
+    p.add_argument("--cfg", type=str,
+                   default=str(Path(__file__).parent / "configs/yolo11_crater.yaml"))
+    p.add_argument("--scale", type=str, default="n")
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--torch-ckpt", type=str, default=None)
+    p.add_argument("--which", type=str, default="best", choices=["best", "last"])
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--batch", type=int, default=8,
+                   help="static device batch; requests coalesce up to this")
+    p.add_argument("--max-wait-ms", type=float, default=5.0,
+                   help="batching window after the first queued request")
+    p.add_argument("--conf", type=float, default=0.25)
+    p.add_argument("--iou", type=float, default=0.45)
+    p.add_argument("--class-aware", action="store_true")
+    p.add_argument("--nc", type=int, default=None)
+    p.add_argument("--ch", type=int, default=None)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8008)
+    args = p.parse_args(argv)
+
+    model, variables = load_deploy_model(
+        args.cfg, scale=args.scale, imgsz=args.imgsz, ckpt=args.ckpt,
+        torch_ckpt=args.torch_ckpt, which=args.which, ch=args.ch, nc=args.nc,
+    )
+    cfg = PredictorConfig(
+        img_size=args.imgsz, batch_size=args.batch, conf_threshold=args.conf,
+        iou_threshold=args.iou, class_aware_nms=args.class_aware,
+    )
+    predictor = Predictor(model, variables, cfg)
+    batching = BatchingServer(predictor, max_wait_ms=args.max_wait_ms)
+    httpd = make_http_server(batching, host=args.host, port=args.port)
+    print(f"serving on http://{args.host}:{httpd.server_address[1]} "
+          f"(batch {args.batch}, window {args.max_wait_ms} ms)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        batching.close()
+    return httpd
+
+
+def cli(argv=None):
+    """Console-script entry: run main() and discard its return value."""
+    main(argv)
+
+
+if __name__ == "__main__":
+    cli()
