@@ -132,3 +132,32 @@ def test_poisoned_request_does_not_fail_neighbors(served):
         t.join()
     assert codes[0] == 200 and codes[2] == 200  # neighbors unaffected
     assert codes[1] == 500                      # the poison fails alone
+
+
+def test_serve_over_dp_mesh():
+    """BatchingServer composes with Predictor.shard_over: the daemon's
+    fixed-shape batches run the shard_map'd deploy program on a dp mesh."""
+    from yolo_scratch_tpu.infer import Predictor, PredictorConfig
+    from yolo_scratch_tpu.models.builder import build_yolo11
+    from yolo_scratch_tpu.parallel.mesh import make_mesh
+    from yolo_scratch_tpu.serve import BatchingServer
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+
+    model = build_yolo11(CFG, ch=1, nc=5, scale="n")
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 96, 96, 1), np.float32))
+    pred = Predictor(model, variables, PredictorConfig(
+        img_size=96, batch_size=4, conf_threshold=0.01,
+        nms_impl="xla",  # pallas interpret mode inside shard_map is CPU-test-only noise
+    )).shard_over(make_mesh(4))
+    batching = BatchingServer(pred, max_wait_ms=100.0)
+    try:
+        rng = np.random.RandomState(3)
+        futs = [batching.submit(_png_bytes(rng)) for _ in range(2)]
+        for f in futs:
+            out = f.result(timeout=600)
+            assert set(out) == {"boxes", "scores", "labels"}
+    finally:
+        batching.close()
