@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight-decay", type=float, default=5e-4)
     p.add_argument("--val-split", type=float, default=0.2)
     p.add_argument("--save-dir", type=str, default="runs/train")
+    p.add_argument("--pretrained", type=str, default=None,
+                   help="warm-start weights: orbax checkpoint dir or "
+                        "reference .pt (partial load, strict=False — "
+                        "mismatched nc/ch heads keep their init)")
     p.add_argument("--resume", action="store_true", default=True)
     p.add_argument("--no-resume", dest="resume", action="store_false")
     p.add_argument("--max-val-batches", type=int, default=None)
@@ -209,6 +213,7 @@ def main(argv=None):
         remat=args.remat,
         grad_accum=args.grad_accum,
         bn_mode=args.bn_mode,
+        pretrained=args.pretrained,
         final_epochs=args.final_epochs,
     )
     trainer = Trainer(model, train_loader, val_loader, cfg, mesh=mesh, seed=args.seed,

@@ -65,6 +65,11 @@ class TrainerConfig:
     # host keeps only AP accumulation. False falls back to the numpy
     # greedy matcher (utils.metrics.evaluate_detections).
     device_matching: bool = True
+    # Warm-start weights before training: an orbax checkpoint dir (ours)
+    # or a reference .pt file. Partial load with the reference's
+    # strict=False semantics (models/yolo11_model.py:273-286): missing
+    # keys and shape mismatches (different nc/ch head) keep their init.
+    pretrained: Optional[str] = None
 
 
 class Trainer:
@@ -118,6 +123,8 @@ class Trainer:
         self.state = create_train_state(
             model, jax.random.PRNGKey(seed), sample["img"][:1], tx, use_ema=config.use_ema
         )
+        if config.pretrained:
+            self._apply_pretrained(config.pretrained)
 
         from yolo_scratch_tpu.train.steps import v8_loss_adapter
 
@@ -141,6 +148,40 @@ class Trainer:
         # at the phase transition so runs that never reach it pay nothing.
         self._train_step_final = None
         self._finish_init(seed)
+
+    def _apply_pretrained(self, path: str):
+        """Overlay pretrained weights onto the fresh state (reference
+        ``build_yolo11(pretrained=...)`` semantics: strict=False partial
+        load, ``models/yolo11_model.py:273-286``). Accepts an orbax
+        checkpoint dir (best, else last) or a reference ``.pt`` file."""
+        from pathlib import Path
+
+        from yolo_scratch_tpu.utils.torch_import import merge_pretrained
+
+        p = Path(path)
+        if p.is_dir():
+            from yolo_scratch_tpu.train.checkpoints import CheckpointManager
+
+            mgr = CheckpointManager(str(p))
+            raw = mgr.peek_raw("best") or mgr.peek_raw("last")
+            if raw is None:
+                raise FileNotFoundError(f"no orbax checkpoint under {p}")
+            loaded_p, loaded_bs = raw["params"], raw["batch_stats"]
+        else:
+            from yolo_scratch_tpu.utils.torch_import import load_reference_checkpoint
+
+            loaded_p, loaded_bs = load_reference_checkpoint(str(p))
+        params, skipped_p = merge_pretrained(self.state.params, loaded_p)
+        stats, skipped_s = merge_pretrained(self.state.batch_stats, loaded_bs)
+        skipped = skipped_p + skipped_s
+        self.state = self.state.replace(params=params, batch_stats=stats)
+        total = len(jax.tree_util.tree_leaves(params))
+        print(f"pretrained: loaded {path} "
+              f"({total - len(skipped_p)}/{total} param leaves; "
+              f"{len(skipped)} kept init: "
+              f"{', '.join(skipped[:4])}{'...' if len(skipped) > 4 else ''})"
+              if skipped else
+              f"pretrained: loaded {path} (all {total} param leaves)")
 
     def _wrap_train_step(self, loss_fn):
         """Compile ``loss_fn`` into a train step honoring mesh/bn_mode/bf16/
