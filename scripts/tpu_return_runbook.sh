@@ -23,6 +23,12 @@ timeout 2400 python scripts/bench_scale.py --model yolox --scale n --batch 128 -
 # 3. headline bench sanity after the round's deploy-path changes
 timeout 2400 python bench.py | tee /tmp/bench_check.json
 
+# 3b. int8 PTQ hardware gates (docs/QUANT.md): conv-level A/B, then the
+#     end-to-end deploy throughput comparison on the trained checkpoint
+timeout 2400 python scripts/probe_int8_conv.py | tee /tmp/int8_probe.json
+timeout 2400 python scripts/eval_quant.py --data /tmp/coco_synth600 \
+    --ckpt runs/ab_recipe --which last --imgsz 320 --batch 32 | tee /tmp/int8_tpu_eval.json
+
 # 4. YOLOX accuracy at recipe scale (STATUS item 2b): same 600-image
 #    synthetic COCO-format set + budget as the YOLO11 recipe A/B
 #    (docs/RECIPE_AB.md). Regenerate the data if /tmp was wiped:

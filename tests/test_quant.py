@@ -1,0 +1,138 @@
+"""int8 PTQ tier (nn/quant.py + the ConvBNAct quant/calib hooks).
+
+Covers: exact int-math semantics of the quantized block, full-model
+closeness, inertness of the hooks on the training path (golden parity must
+survive), and deploy integration through the Predictor.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yolo_scratch_tpu.nn.modules import ConvBNAct
+from yolo_scratch_tpu.nn.quant import (
+    build_quant_tree,
+    calibrate_absmax,
+    count_quantized,
+    quantize_for_deploy,
+)
+
+
+@pytest.fixture(scope="module")
+def conv_block():
+    m = ConvBNAct(c2=8, k=3)
+    x = np.random.RandomState(0).randn(2, 16, 16, 4).astype(np.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    return m, v, x
+
+
+def test_quant_conv_matches_exact_int_math(conv_block):
+    """The quant branch IS symmetric int8: reproduce it by hand."""
+    m, v, x = conv_block
+    calib = calibrate_absmax(m, v, [x])
+    q = build_quant_tree(v["params"], calib)
+    assert set(q) == {"w_q", "s_w", "s_act"}
+    assert q["w_q"].dtype == jnp.int8
+
+    y_q = np.asarray(m.apply({**v, "quant": q}, x, train=False))
+
+    s_act = float(q["s_act"])
+    xq = np.clip(np.round(x / s_act), -127, 127).astype(np.int8)
+    acc = np.asarray(jax.lax.conv_general_dilated(
+        jnp.asarray(xq), q["w_q"], (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32))
+    deq = acc.astype(np.float32) * (s_act * np.asarray(q["s_w"]))
+    pbn, sbn = v["params"]["bn"], v["batch_stats"]["bn"]
+    g = np.asarray(pbn["scale"]) / np.sqrt(np.asarray(sbn["var"]) + 1e-3)
+    bn = (deq - np.asarray(sbn["mean"])) * g + np.asarray(pbn["bias"])
+    ref = bn / (1 + np.exp(-bn))  # SiLU
+    np.testing.assert_allclose(ref, y_q, atol=2e-5, rtol=1e-4)
+
+
+def test_quant_error_small_vs_float(conv_block):
+    m, v, x = conv_block
+    calib = calibrate_absmax(m, v, [x])
+    q = build_quant_tree(v["params"], calib)
+    y_f = np.asarray(m.apply(v, x, train=False))
+    y_q = np.asarray(m.apply({**v, "quant": q}, x, train=False))
+    assert np.abs(y_f - y_q).max() < 0.05 * np.abs(y_f).max()
+
+
+def test_calib_hook_inert_without_mutable(conv_block):
+    """Plain apply (no mutable calib) is unchanged and creates nothing."""
+    m, v, x = conv_block
+    y0 = np.asarray(m.apply(v, x, train=False))
+    out, mut = m.apply(v, x, train=False, mutable=["calib"])
+    np.testing.assert_array_equal(y0, np.asarray(out))
+    assert "absmax" in mut["calib"]
+    # init must not create a calib collection
+    assert "calib" not in v
+
+
+def test_quant_ignored_in_train_mode(conv_block):
+    """train=True never takes the int8 path even with quant mounted."""
+    m, v, x = conv_block
+    calib = calibrate_absmax(m, v, [x])
+    q = build_quant_tree(v["params"], calib)
+    y_ref, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+    y_qt, _ = m.apply({**v, "quant": q}, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_qt))
+
+
+def test_skip_predicate(conv_block):
+    m, v, x = conv_block
+    calib = calibrate_absmax(m, v, [x])
+    q = build_quant_tree(v["params"], calib, skip=lambda path: True)
+    assert count_quantized({"root": q}) == 0 and q == {}
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    from yolo_scratch_tpu.models.builder import build_yolo11
+
+    model = build_yolo11(
+        "yolo_scratch_tpu/configs/yolo11_crater.yaml", ch=1, nc=5, scale="n")
+    x = np.random.RandomState(1).rand(2, 96, 96, 1).astype(np.float32)
+    v = model.init(jax.random.PRNGKey(0), x)
+    return model, v, x
+
+
+def test_full_model_quantization(small_model):
+    model, v, x = small_model
+    vq = quantize_for_deploy(model, v, [x])
+    assert count_quantized(vq["quant"]) > 50  # every ConvBNAct in yolo11n
+    f = jax.jit(lambda vv, xx: model.apply(vv, xx, train=False))
+    yf = f({k: vq[k] for k in ("params", "batch_stats")}, x)
+    yq = f(vq, x)
+    for a, b in zip(yf, yq):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() < 0.05 * np.abs(a).max()
+
+
+def test_predictor_serves_quantized_variables(small_model, tmp_path):
+    """The deploy path: quant tree survives Predictor's bf16 cast and the
+    jitted program runs end-to-end on image files."""
+    from yolo_scratch_tpu.infer import Predictor, PredictorConfig
+
+    model, v, x = small_model
+    vq = quantize_for_deploy(model, v, [x])
+    cfg = PredictorConfig(img_size=96, batch_size=2, nms_impl="xla",
+                          conf_threshold=0.0)
+    pred = Predictor(model, vq, cfg)
+    assert "quant" in pred.variables  # bf16 cast must not drop it
+    assert pred.variables["quant"] is vq["quant"]
+
+    import cv2
+
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"im{i}.png")
+        cv2.imwrite(p, (np.random.RandomState(i).rand(80, 96) * 255).astype(np.uint8))
+        paths.append(p)
+    results = list(pred.predict_paths(paths))
+    assert len(results) == 2
+    for r in results:
+        assert len(r["boxes"]) == len(r["scores"]) == len(r["labels"])

@@ -64,11 +64,13 @@ class Predictor:
         if config.fuse_bn:
             variables = fuse_conv_bn(variables)
         if config.bf16:
+            # cast params only; keep every other collection (batch_stats,
+            # the int8 "quant" tree from nn/quant.py, ...) as-is
             variables = {
+                **variables,
                 "params": jax.tree_util.tree_map(
                     lambda x: x.astype(jnp.bfloat16), variables["params"]
                 ),
-                "batch_stats": variables["batch_stats"],
             }
         self.variables = variables
 
@@ -410,6 +412,10 @@ def main(argv=None):
                    help="opt-in approximate two-stage candidate selection "
                         "(validate with scripts/validate_blocked_topk.py first); "
                         "0 = exact (default)")
+    p.add_argument("--int8-calib", type=int, default=0, metavar="N",
+                   help="serve int8 (nn/quant.py): calibrate activation "
+                        "scales on the first N input batches, then quantize "
+                        "every ConvBNAct to symmetric int8 (0 = off)")
     args = p.parse_args(argv)
 
     root = Path(args.images)
@@ -434,6 +440,22 @@ def main(argv=None):
         class_aware_nms=args.class_aware,
         blocked_topk=args.blocked_topk,
     )
+    if args.int8_calib:
+        from yolo_scratch_tpu.nn.quant import count_quantized, quantize_for_deploy
+
+        # calibrate on real deploy inputs: host-prep the first N batches
+        # exactly as the Predictor will see them (letterbox + /255)
+        calib_pred = Predictor(model, variables, cfg)  # for _prepare only
+        calib_batches = []
+        for i in range(0, min(len(paths), args.int8_calib * args.batch), args.batch):
+            chunk = paths[i:i + args.batch]
+            chunk = chunk + [chunk[-1]] * (args.batch - len(chunk))
+            imgs, _ = calib_pred._prepare(chunk)
+            x = np.asarray(imgs, np.float32)
+            calib_batches.append(x / 255.0 if imgs.dtype == np.uint8 else x)
+        variables = quantize_for_deploy(model, variables, calib_batches)
+        print(f"int8: quantized {count_quantized(variables['quant'])} conv blocks "
+              f"(calibrated on {len(calib_batches)} batches)")
     predictor = Predictor(model, variables, cfg)
 
     t0 = time.perf_counter()

@@ -42,7 +42,20 @@ def autopad(k: int, p: int | None = None, d: int = 1) -> int:
 
 
 class ConvBNAct(nn.Module):
-    """Conv2d(bias=False) + BatchNorm + SiLU (reference Conv, ``:21-33``)."""
+    """Conv2d(bias=False) + BatchNorm + SiLU (reference Conv, ``:21-33``).
+
+    Two optional deploy-only hooks, both inert unless their collection is
+    mounted (so training and golden-parity eval are untouched):
+
+    * calibration — under ``apply(..., mutable=["calib"])`` each block sows
+      the absmax of its conv input (``nn/quant.py`` turns these into int8
+      activation scales);
+    * int8 inference — when a ``"quant"`` collection entry exists for this
+      block (``w_q`` int8 kernel, ``s_w`` per-out-channel scale, ``s_act``
+      activation scale), the conv runs as symmetric-int8 x int8 -> int32 on
+      the MXU and dequantizes into the BN/SiLU epilogue. Zero-point-free
+      symmetric quantization keeps conv zero-padding exact.
+    """
 
     c2: int
     k: int = 1
@@ -55,17 +68,44 @@ class ConvBNAct(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = autopad(self.k, self.p, self.d)
-        x = nn.Conv(
-            self.c2,
-            (self.k, self.k),
-            strides=(self.s, self.s),
-            padding=[(p, p), (p, p)],
-            feature_group_count=self.g,
-            kernel_dilation=(self.d, self.d),
-            use_bias=False,
-            kernel_init=KAIMING_OUT,
-            name="conv",
-        )(x)
+        if not self.is_initializing() and self.scope.is_mutable_collection("calib"):
+            self.sow(
+                "calib",
+                "absmax",
+                jnp.max(jnp.abs(x.astype(jnp.float32))),
+                init_fn=lambda: jnp.zeros((), jnp.float32),
+                reduce_fn=jnp.maximum,
+            )
+        if not train and self.has_variable("quant", "w_q"):
+            w_q = self.get_variable("quant", "w_q")  # (k, k, c1/g, c2) int8
+            s_w = self.get_variable("quant", "s_w")  # (c2,) f32
+            s_act = self.get_variable("quant", "s_act")  # () f32
+            xq = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / s_act), -127, 127
+            ).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                xq,
+                w_q,
+                window_strides=(self.s, self.s),
+                padding=[(p, p), (p, p)],
+                rhs_dilation=(self.d, self.d),
+                feature_group_count=self.g,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            x = (y.astype(jnp.float32) * (s_act * s_w)).astype(x.dtype)
+        else:
+            x = nn.Conv(
+                self.c2,
+                (self.k, self.k),
+                strides=(self.s, self.s),
+                padding=[(p, p), (p, p)],
+                feature_group_count=self.g,
+                kernel_dilation=(self.d, self.d),
+                use_bias=False,
+                kernel_init=KAIMING_OUT,
+                name="conv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.97, epsilon=1e-3, name="bn"
         )(x)
