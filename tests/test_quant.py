@@ -136,3 +136,77 @@ def test_predictor_serves_quantized_variables(small_model, tmp_path):
     assert len(results) == 2
     for r in results:
         assert len(r["boxes"]) == len(r["scores"]) == len(r["labels"])
+
+
+def test_int8_export_roundtrip(small_model, tmp_path):
+    """AOT export of the int8 deploy graph: artifact == live, int8 baked in."""
+    from yolo_scratch_tpu.export import export_predictor, load_artifact, save_artifact
+    from yolo_scratch_tpu.infer import Predictor, PredictorConfig
+
+    model, v, x = small_model
+    vq = quantize_for_deploy(model, v, [x])
+    cfg = PredictorConfig(img_size=96, batch_size=2, conf_threshold=0.001,
+                          max_det=32, pre_nms_topk=128, nms_impl="xla")
+    pred = Predictor(model, vq, cfg)
+    xb = np.random.default_rng(3).integers(0, 256, (2, 96, 96, 1), np.uint8)
+    live = [np.asarray(o) for o in pred._infer(pred.variables, xb)]
+
+    path = str(tmp_path / "int8.jaxexp")
+    save_artifact(export_predictor(pred), path)
+    art = load_artifact(path)
+    got = [np.asarray(o) for o in jax.jit(art.call)(xb)]
+    for g, l in zip(got, live):
+        np.testing.assert_allclose(g, l, rtol=0, atol=1e-6)
+
+
+def test_yolox_int8():
+    """The quant tier covers the YOLOX family (shared ConvBNAct)."""
+    from yolo_scratch_tpu.models.yolox import YOLOXModel
+
+    model = YOLOXModel.from_scale("nano", nc=5)
+    x = np.random.RandomState(2).rand(1, 96, 96, 3).astype(np.float32)
+    v = model.init(jax.random.PRNGKey(0), x)
+    vq = quantize_for_deploy(model, v, [x])
+    assert count_quantized(vq["quant"]) > 30
+    f = jax.jit(lambda vv, xx: model.apply(vv, xx, train=False))
+    yf = f({k: vq[k] for k in ("params", "batch_stats")}, x)
+    yq = f(vq, x)
+    for a, b in zip(yf, yq):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() < 0.06 * np.abs(a).max()
+
+
+def test_serve_daemon_int8(small_model):
+    """HTTP serving over a quantized Predictor end-to-end."""
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from yolo_scratch_tpu.infer import Predictor, PredictorConfig
+    from yolo_scratch_tpu.serve import BatchingServer, make_http_server
+
+    model, v, x = small_model
+    vq = quantize_for_deploy(model, v, [x])
+    pred = Predictor(model, vq, PredictorConfig(
+        img_size=96, batch_size=2, conf_threshold=0.01))
+    batching = BatchingServer(pred, max_wait_ms=50.0)
+    httpd = make_http_server(batching, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        buf = io.BytesIO()
+        Image.fromarray(
+            (np.random.RandomState(0).rand(80, 96) * 255).astype(np.uint8),
+            mode="L").save(buf, format="PNG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{httpd.server_address[1]}/v1/detect",
+            data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = _json.loads(r.read())
+        assert "boxes" in out and "scores" in out
+    finally:
+        httpd.shutdown()
+        batching.close()

@@ -214,6 +214,10 @@ def main(argv=None):
     p.add_argument("--ch", type=int, default=None)
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8008)
+    p.add_argument("--int8-calib-dir", type=str, default=None, metavar="DIR",
+                   help="serve int8 (nn/quant.py): calibrate activation "
+                        "scales on the images under DIR, then quantize "
+                        "every ConvBNAct to symmetric int8")
     args = p.parse_args(argv)
 
     model, variables = load_deploy_model(
@@ -224,6 +228,27 @@ def main(argv=None):
         img_size=args.imgsz, batch_size=args.batch, conf_threshold=args.conf,
         iou_threshold=args.iou, class_aware_nms=args.class_aware,
     )
+    if args.int8_calib_dir:
+        import numpy as np
+
+        from yolo_scratch_tpu.nn.quant import count_quantized, quantize_for_deploy
+
+        exts = {".png", ".jpg", ".jpeg", ".bmp"}
+        paths = sorted(str(q) for q in Path(args.int8_calib_dir).rglob("*")
+                       if q.suffix.lower() in exts)
+        if not paths:
+            raise SystemExit(f"--int8-calib-dir: no images under {args.int8_calib_dir}")
+        prep = Predictor(model, variables, cfg)  # host _prepare only
+        batches = []
+        for i in range(0, len(paths), args.batch):
+            chunk = paths[i:i + args.batch]
+            chunk = chunk + [chunk[-1]] * (args.batch - len(chunk))
+            imgs, _ = prep._prepare(chunk)
+            x = np.asarray(imgs, np.float32)
+            batches.append(x / 255.0 if imgs.dtype == np.uint8 else x)
+        variables = quantize_for_deploy(model, variables, batches)
+        print(f"int8: quantized {count_quantized(variables['quant'])} conv blocks "
+              f"(calibrated on {len(paths)} images)")
     predictor = Predictor(model, variables, cfg)
     batching = BatchingServer(predictor, max_wait_ms=args.max_wait_ms)
     httpd = make_http_server(batching, host=args.host, port=args.port)
