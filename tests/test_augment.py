@@ -101,3 +101,52 @@ def test_augment_batch_pipeline_jits():
     assert out["gt_bboxes"].shape == batch["gt_bboxes"].shape
     b = np.asarray(out["gt_bboxes"])
     assert (b >= 0).all() and (b <= 1).all()
+
+
+def test_mixup_blend_and_box_union():
+    from yolo_scratch_tpu.data.augment import mixup
+
+    batch = _batch_with_disk()
+    out = mixup(batch, jax.random.PRNGKey(3), p=1.0, alpha=8.0)
+    img = np.asarray(out["img"])
+    bb = np.asarray(out["gt_bboxes"])
+    msk = np.asarray(out["gt_mask"])
+    B = img.shape[0]
+    # pixel mass is conserved under a convex blend of binary disks: every
+    # bright region must be covered by the union of that image's boxes
+    for i in range(B):
+        ys, xs = np.nonzero(img[i, ..., 0] > 0.05)
+        if len(xs) == 0:
+            continue
+        S = img.shape[1]
+        covered = np.zeros(len(xs), bool)
+        for b, ok in zip(bb[i], msk[i]):
+            if not ok:
+                continue
+            x1, y1, x2, y2 = b * S
+            covered |= (xs >= x1 - 1) & (xs <= x2 + 1) & (ys >= y1 - 1) & (ys <= y2 + 1)
+        assert covered.mean() >= 0.99
+    # blending happened: some image is a true mixture (two intensity levels)
+    levels = [len(np.unique(np.round(img[i, ..., 0], 3))) for i in range(B)]
+    assert max(levels) >= 3  # 0, lam, (1-lam) at least (disks may overlap)
+
+
+def test_mixup_p_zero_is_identity():
+    from yolo_scratch_tpu.data.augment import mixup
+
+    batch = _batch_with_disk()
+    out = mixup(batch, jax.random.PRNGKey(0), p=0.0)
+    for k in ("img", "gt_bboxes", "gt_labels", "gt_mask"):
+        np.testing.assert_array_equal(np.asarray(out[k]), batch[k])
+
+
+def test_augment_pipeline_with_mixup_jits():
+    from yolo_scratch_tpu.data.augment import AugmentConfig, augment_batch
+
+    batch = _batch_with_disk()
+    cfg = AugmentConfig(mosaic_p=0.5, mixup_p=0.5)
+    out = jax.jit(augment_batch, static_argnames=("cfg",))(
+        batch, jax.random.PRNGKey(1), cfg)
+    assert np.asarray(out["img"]).shape == batch["img"].shape
+    assert np.asarray(out["gt_bboxes"]).shape == batch["gt_bboxes"].shape
+    assert bool(np.asarray(out["gt_mask"]).any())

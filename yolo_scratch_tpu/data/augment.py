@@ -11,6 +11,8 @@ XLA ops on device"), so they are first-class here:
 * ``mosaic4``       — batched 4-image mosaic: 2Sx2S quadrant canvas,
   random SxS crop (shape-static via dynamic_slice), boxes remapped,
   clipped, and compacted back to the static max-GT capacity.
+* ``mixup``         — detection mixup (YOLOX recipe): Beta-blend with a
+  batch partner, union of box sets, compacted to capacity.
 
 Everything takes/returns the standard padded batch dict and composes under
 jit; ``augment_batch`` is the one-call pipeline.
@@ -29,6 +31,8 @@ class AugmentConfig(NamedTuple):
     hflip_p: float = 0.5
     vflip_p: float = 0.0
     mosaic_p: float = 0.0
+    mixup_p: float = 0.0
+    mixup_alpha: float = 8.0  # Beta(a, a) blend ratio (YOLOX recipe value)
     hsv_h: float = 0.015
     hsv_s: float = 0.7
     hsv_v: float = 0.4
@@ -211,6 +215,43 @@ def mosaic4(batch: dict, key: jax.Array, p: float, min_box: float = 2e-3) -> dic
     }
 
 
+# --------------------------------------------------------------------- mixup
+
+
+def mixup(batch: dict, key: jax.Array, p: float, alpha: float = 8.0) -> dict:
+    """Detection mixup (YOLOX recipe: applied after mosaic).
+
+    Each image blends with a random batch partner at ratio
+    ``lam ~ Beta(alpha, alpha)``; the box sets take their UNION (detection
+    mixup keeps both images' objects unweighted — the standard YOLO
+    formulation, unlike classification mixup's soft labels). The 2G union
+    compacts back to the static max-GT capacity, mosaic-style.
+    """
+    img = jnp.asarray(batch["img"])
+    bb = jnp.asarray(batch["gt_bboxes"])
+    lbl = jnp.asarray(batch["gt_labels"])
+    msk = jnp.asarray(batch["gt_mask"])
+    B, G = bb.shape[:2]
+    k_sel, k_lam, k_apply = jax.random.split(key, 3)
+    partner = jax.random.randint(k_sel, (B,), 0, B)
+    lam = jax.random.beta(k_lam, alpha, alpha, (B,)).astype(img.dtype)
+    apply = jax.random.uniform(k_apply, (B,)) < p
+
+    m_img = lam[:, None, None, None] * img + (1 - lam)[:, None, None, None] * img[partner]
+    u_bb = jnp.concatenate([bb, bb[partner]], axis=1)  # (B, 2G, 4)
+    u_lbl = jnp.concatenate([lbl, lbl[partner]], axis=1)
+    u_msk = jnp.concatenate([msk, msk[partner]], axis=1)
+    c_bb, c_lbl, c_msk = jax.vmap(partial(_compact_boxes, G=G))(u_bb, u_lbl, u_msk)
+
+    return {
+        **batch,
+        "img": jnp.where(apply[:, None, None, None], m_img, img),
+        "gt_bboxes": jnp.where(apply[:, None, None], c_bb, bb),
+        "gt_labels": jnp.where(apply[:, None], c_lbl, lbl),
+        "gt_mask": jnp.where(apply[:, None], c_msk, msk),
+    }
+
+
 # ---------------------------------------------------------------- letterbox
 
 
@@ -239,10 +280,12 @@ def letterbox_batch(imgs: jnp.ndarray, out_size: int, pad_value: float = 114.0 /
 
 @partial(jax.jit, static_argnames=("cfg",))
 def augment_batch(batch: dict, key: jax.Array, cfg: AugmentConfig = AugmentConfig()) -> dict:
-    """Full device-side pipeline: mosaic -> flips -> color."""
-    k_m, k_h, k_v, k_c = jax.random.split(key, 4)
+    """Full device-side pipeline: mosaic -> mixup -> flips -> color."""
+    k_m, k_x, k_h, k_v, k_c = jax.random.split(key, 5)
     if cfg.mosaic_p > 0:
         batch = mosaic4(batch, k_m, cfg.mosaic_p, cfg.min_box_size)
+    if cfg.mixup_p > 0:
+        batch = mixup(batch, k_x, cfg.mixup_p, cfg.mixup_alpha)
     if cfg.hflip_p > 0:
         batch = random_hflip(batch, k_h, cfg.hflip_p)
     if cfg.vflip_p > 0:

@@ -68,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device-side augmentation (hflip + color jitter)")
     p.add_argument("--mosaic", type=float, default=0.0,
                    help="mosaic probability (implies --augment)")
+    p.add_argument("--mixup", type=float, default=0.0,
+                   help="mixup probability, applied after mosaic "
+                        "(YOLOX recipe; implies --augment)")
     p.add_argument("--multihost", action="store_true",
                    help="multi-host pod training: jax.distributed.initialize "
                         "(auto TPU topology, or --coordinator/--nproc/--pid), "
@@ -194,10 +197,10 @@ def main(argv=None):
         mesh = make_mesh(args.mesh)
 
     aug_cfg = None
-    if args.augment or args.mosaic > 0:
+    if args.augment or args.mosaic > 0 or args.mixup > 0:
         from yolo_scratch_tpu.data.augment import AugmentConfig
 
-        aug_cfg = AugmentConfig(mosaic_p=args.mosaic)
+        aug_cfg = AugmentConfig(mosaic_p=args.mosaic, mixup_p=args.mixup)
 
     cfg = TrainerConfig(
         epochs=args.epochs,
