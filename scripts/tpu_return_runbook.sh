@@ -36,5 +36,5 @@ timeout 2400 python scripts/eval_quant.py --data /tmp/coco_synth600 \
 timeout 36000 python -m yolo_scratch_tpu.train.cli \
     --data /tmp/coco_synth600 --model yolox --scale s \
     --epochs 80 --batch 16 --imgsz 320 \
-    --augment --mosaic 0.5 --multiscale --ema --final-epochs 10 \
+    --augment --mosaic 0.5 --mixup 0.5 --multiscale --ema --final-epochs 10 \
     --save-dir /tmp/yolox_recipe 2>&1 | tee /tmp/yolox_recipe.log

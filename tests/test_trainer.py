@@ -67,3 +67,27 @@ def test_checkpoint_best_policy(tmp_path):
     # loss-gated fallback when mAP absent
     bl, bm, saved = mgr.save_epoch(trainer.state, 2, {}, {"loss": 0.4}, bl, bm)
     assert saved and bl == 0.4
+
+
+def test_early_stopping_patience(tmp_path):
+    """--patience: stop after N epochs without a new val best."""
+    from yolo_scratch_tpu.data.loader import Loader
+    from yolo_scratch_tpu.data.synthetic import SyntheticDataset
+    from yolo_scratch_tpu.models.builder import build_yolo11
+    from yolo_scratch_tpu.train.trainer import Trainer, TrainerConfig
+
+    ds = SyntheticDataset(n=8, img_size=64, channels=1, num_classes=5)
+    train_loader = Loader(ds, batch_size=4, max_gt=8, prefetch=0)
+    val_loader = Loader(ds, batch_size=4, max_gt=8, prefetch=0, indices=[0, 1, 2, 3])
+    model = build_yolo11(
+        "yolo_scratch_tpu/configs/yolo11_crater.yaml", ch=1, nc=5, scale="n")
+    # lr=0 freezes the weights: val metrics are identical every epoch, so
+    # the best gate can improve at most once (epoch 0) and patience=2 must
+    # end the run no later than epoch 3 of 6
+    cfg = TrainerConfig(
+        epochs=6, lr=0.0, warmup_epochs=0, val_conf=0.01,
+        save_dir=str(tmp_path / "run"), pre_nms_topk=64, max_det=20,
+        patience=2,
+    )
+    result = Trainer(model, train_loader, val_loader, cfg).fit(resume=False)
+    assert 2 <= len(result["history"]) <= 3

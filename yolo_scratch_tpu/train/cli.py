@@ -83,6 +83,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--final-epochs", type=int, default=0,
                    help="last-N-epochs no-aug phase (YOLOX recipe: mosaic off"
                         " + L1 loss on; paper uses 15)")
+    p.add_argument("--patience", type=int, default=0,
+                   help="early stop after N epochs without a new val best "
+                        "(mAP50 gate, val-loss fallback); 0 = off")
     p.add_argument("--seed", type=int, default=42)
     return p
 
@@ -218,6 +221,7 @@ def main(argv=None):
         bn_mode=args.bn_mode,
         pretrained=args.pretrained,
         final_epochs=args.final_epochs,
+        patience=args.patience,
     )
     trainer = Trainer(model, train_loader, val_loader, cfg, mesh=mesh, seed=args.seed,
                       model_kind=args.model)
