@@ -81,27 +81,29 @@ def main(argv=None):
         which=args.which)
     if not args.no_ema:
         raw = CheckpointManager(args.ckpt).peek_raw(args.which)
-        if raw.get("ema_params"):
+        if raw is not None and raw.get("ema_params"):
             variables = {**variables, "params": raw["ema_params"]}
             print("using EMA params", file=sys.stderr)
 
-    def make_fn(v):
-        v = fuse_conv_bn(v)
-        v = {**v, "params": jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16), v["params"])}
+    # variables are a jit ARGUMENT, never a closure: captured weights become
+    # compile-payload constants and blow the tunnel's remote_compile size
+    # limit (CLAUDE.md environment gotchas)
+    @jax.jit
+    def infer(v, x):
+        feats = model.apply(v, x.astype(jnp.bfloat16), train=False)
+        return postprocess_from_feats(
+            feats, nc=model.nc,
+            strides=tuple(float(s) for s in model.strides),
+            reg_max=model.reg_max, img_size=args.imgsz,
+            conf_threshold=args.conf, iou_threshold=args.iou,
+            max_det=300, pre_nms_topk=512, class_aware=True,
+            nms_impl=args.nms,
+        )
 
-        @jax.jit
-        def infer(x):
-            feats = model.apply(v, x.astype(jnp.bfloat16), train=False)
-            return postprocess_from_feats(
-                feats, nc=model.nc,
-                strides=tuple(float(s) for s in model.strides),
-                reg_max=model.reg_max, img_size=args.imgsz,
-                conf_threshold=args.conf, iou_threshold=args.iou,
-                max_det=300, pre_nms_topk=512, class_aware=True,
-                nms_impl=args.nms,
-            )
-        return infer
+    def deploy_vars(v):
+        v = fuse_conv_bn(v)
+        return {**v, "params": jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), v["params"])}
 
     # calibration batches come from the TRAIN split (deploy-realistic:
     # no peeking at val data)
@@ -113,16 +115,16 @@ def main(argv=None):
     print(f"quantized {count_quantized(v_int8['quant'])} blocks "
           f"in {time.time() - t0:.1f}s", file=sys.stderr)
 
-    variants = {"bf16": make_fn(variables), "int8": make_fn(v_int8)}
+    variants = {"bf16": deploy_vars(variables), "int8": deploy_vars(v_int8)}
     results = {}
-    for name, fn in variants.items():
+    for name, v in variants.items():
         loader = Loader(ds, args.batch, indices=val_idx, prefetch=2)
         all_preds, all_targets = [], []
         t0 = time.time()
         for i, batch in enumerate(loader):
             if args.max_batches is not None and i >= args.max_batches:
                 break
-            boxes, scores, labels, valid = fn(batch["img"])
+            boxes, scores, labels, valid = infer(v, batch["img"])
             sv = np.asarray(batch["sample_valid"])
             preds = detections_to_lists(boxes, scores, labels, valid)
             targets = targets_to_lists(

@@ -24,8 +24,11 @@ timeout 2400 python scripts/bench_scale.py --model yolox --scale n --batch 128 -
 timeout 2400 python bench.py | tee /tmp/bench_check.json
 
 # 3b. int8 PTQ hardware gates (docs/QUANT.md): conv-level A/B, then the
-#     end-to-end deploy throughput comparison on the trained checkpoint
+#     end-to-end deploy throughput comparison on the trained checkpoint.
+#     (Regenerate the synthetic COCO set first if /tmp was wiped — set -e
+#     would otherwise abort the whole runbook here.)
 timeout 2400 python scripts/probe_int8_conv.py | tee /tmp/int8_probe.json
+[ -d /tmp/coco_synth600 ] || python scripts/gen_coco_synth.py --n 600 --out /tmp/coco_synth600
 timeout 2400 python scripts/eval_quant.py --data /tmp/coco_synth600 \
     --ckpt runs/ab_recipe --which last --imgsz 320 --batch 32 | tee /tmp/int8_tpu_eval.json
 

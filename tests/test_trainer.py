@@ -70,24 +70,18 @@ def test_checkpoint_best_policy(tmp_path):
 
 
 def test_early_stopping_patience(tmp_path):
-    """--patience: stop after N epochs without a new val best."""
-    from yolo_scratch_tpu.data.loader import Loader
-    from yolo_scratch_tpu.data.synthetic import SyntheticDataset
-    from yolo_scratch_tpu.models.builder import build_yolo11
-    from yolo_scratch_tpu.train.trainer import Trainer, TrainerConfig
+    """--patience: stop after N epochs of val fitness below its best;
+    exact plateaus (cold-start mAP=0 included) refresh the clock."""
+    import dataclasses
 
-    ds = SyntheticDataset(n=8, img_size=64, channels=1, num_classes=5)
-    train_loader = Loader(ds, batch_size=4, max_gt=8, prefetch=0)
-    val_loader = Loader(ds, batch_size=4, max_gt=8, prefetch=0, indices=[0, 1, 2, 3])
-    model = build_yolo11(
-        "yolo_scratch_tpu/configs/yolo11_crater.yaml", ch=1, nc=5, scale="n")
-    # lr=0 freezes the weights: val metrics are identical every epoch, so
-    # the best gate can improve at most once (epoch 0) and patience=2 must
-    # end the run no later than epoch 3 of 6
-    cfg = TrainerConfig(
-        epochs=6, lr=0.0, warmup_epochs=0, val_conf=0.01,
-        save_dir=str(tmp_path / "run"), pre_nms_topk=64, max_det=20,
-        patience=2,
-    )
-    result = Trainer(model, train_loader, val_loader, cfg).fit(resume=False)
-    assert 2 <= len(result["history"]) <= 3
+    trainer = _make_trainer(tmp_path, epochs=10)
+    trainer.cfg = dataclasses.replace(trainer.cfg, patience=2)
+    # scripted val curve: cold plateau (must NOT count), rise to a peak,
+    # then regression -> stop exactly 2 epochs after the peak
+    curve = [0.0, 0.0, 0.0, 0.5, 0.6, 0.55, 0.50, 0.45, 0.44, 0.43]
+    calls = iter(curve)
+    trainer.validate = lambda: {"loss": 1.0, "mAP50": next(calls),
+                                "mAP50-95": 0.0, "precision": 0, "recall": 0}
+    result = trainer.fit(resume=False)
+    # epochs run: indices 0..6 (peak at 4; 5 and 6 below best -> stop)
+    assert len(result["history"]) == 7

@@ -233,7 +233,9 @@ def mixup(batch: dict, key: jax.Array, p: float, alpha: float = 8.0) -> dict:
     msk = jnp.asarray(batch["gt_mask"])
     B, G = bb.shape[:2]
     k_sel, k_lam, k_apply = jax.random.split(key, 3)
-    partner = jax.random.randint(k_sel, (B,), 0, B)
+    # partner is always a DIFFERENT image: self-mixup would be a pixel
+    # no-op that still duplicates every GT box after the union
+    partner = (jnp.arange(B) + jax.random.randint(k_sel, (B,), 1, B)) % B
     lam = jax.random.beta(k_lam, alpha, alpha, (B,)).astype(img.dtype)
     apply = jax.random.uniform(k_apply, (B,)) < p
 

@@ -441,18 +441,16 @@ def main(argv=None):
         blocked_topk=args.blocked_topk,
     )
     if args.int8_calib:
-        from yolo_scratch_tpu.nn.quant import count_quantized, quantize_for_deploy
+        from yolo_scratch_tpu.nn.quant import (
+            count_quantized,
+            prepare_calib_batches,
+            quantize_for_deploy,
+        )
 
         # calibrate on real deploy inputs: host-prep the first N batches
         # exactly as the Predictor will see them (letterbox + /255)
         calib_pred = Predictor(model, variables, cfg)  # for _prepare only
-        calib_batches = []
-        for i in range(0, min(len(paths), args.int8_calib * args.batch), args.batch):
-            chunk = paths[i:i + args.batch]
-            chunk = chunk + [chunk[-1]] * (args.batch - len(chunk))
-            imgs, _ = calib_pred._prepare(chunk)
-            x = np.asarray(imgs, np.float32)
-            calib_batches.append(x / 255.0 if imgs.dtype == np.uint8 else x)
+        calib_batches = prepare_calib_batches(calib_pred, paths, args.int8_calib)
         variables = quantize_for_deploy(model, variables, calib_batches)
         print(f"int8: quantized {count_quantized(variables['quant'])} conv blocks "
               f"(calibrated on {len(calib_batches)} batches)")

@@ -127,6 +127,25 @@ def quantize_for_deploy(
     return out
 
 
+def prepare_calib_batches(predictor, paths: Sequence[str], max_batches: int) -> list:
+    """Host-prep calibration batches exactly as the Predictor serves them.
+
+    Uses the predictor's own ``_prepare`` (letterbox/stretch per its
+    config) and mirrors ``Predictor._infer``'s in-jit normalization
+    (uint8 transfer -> /255). Shared by the infer and serve CLIs so the
+    two calibration paths cannot drift.
+    """
+    B = predictor.cfg.batch_size
+    batches = []
+    for i in range(0, min(len(paths), max_batches * B), B):
+        chunk = list(paths[i:i + B])
+        chunk = chunk + [chunk[-1]] * (B - len(chunk))
+        imgs, _ = predictor._prepare(chunk)
+        x = np.asarray(imgs, np.float32)
+        batches.append(x / 255.0 if imgs.dtype == np.uint8 else x)
+    return batches
+
+
 def count_quantized(quant: Dict[str, Any]) -> int:
     """Number of ConvBNAct blocks covered by a quant tree."""
     n = 0

@@ -229,9 +229,11 @@ def main(argv=None):
         iou_threshold=args.iou, class_aware_nms=args.class_aware,
     )
     if args.int8_calib_dir:
-        import numpy as np
-
-        from yolo_scratch_tpu.nn.quant import count_quantized, quantize_for_deploy
+        from yolo_scratch_tpu.nn.quant import (
+            count_quantized,
+            prepare_calib_batches,
+            quantize_for_deploy,
+        )
 
         exts = {".png", ".jpg", ".jpeg", ".bmp"}
         paths = sorted(str(q) for q in Path(args.int8_calib_dir).rglob("*")
@@ -239,13 +241,8 @@ def main(argv=None):
         if not paths:
             raise SystemExit(f"--int8-calib-dir: no images under {args.int8_calib_dir}")
         prep = Predictor(model, variables, cfg)  # host _prepare only
-        batches = []
-        for i in range(0, len(paths), args.batch):
-            chunk = paths[i:i + args.batch]
-            chunk = chunk + [chunk[-1]] * (args.batch - len(chunk))
-            imgs, _ = prep._prepare(chunk)
-            x = np.asarray(imgs, np.float32)
-            batches.append(x / 255.0 if imgs.dtype == np.uint8 else x)
+        batches = prepare_calib_batches(
+            prep, paths, max_batches=-(-len(paths) // args.batch))
         variables = quantize_for_deploy(model, variables, batches)
         print(f"int8: quantized {count_quantized(variables['quant'])} conv blocks "
               f"(calibrated on {len(paths)} images)")

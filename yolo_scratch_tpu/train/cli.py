@@ -84,8 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="last-N-epochs no-aug phase (YOLOX recipe: mosaic off"
                         " + L1 loss on; paper uses 15)")
     p.add_argument("--patience", type=int, default=0,
-                   help="early stop after N epochs without a new val best "
-                        "(mAP50 gate, val-loss fallback); 0 = off")
+                   help="early stop after N epochs of val fitness (mAP50, "
+                        "-val-loss fallback) below its running best; exact "
+                        "plateaus refresh the clock; 0 = off")
     p.add_argument("--seed", type=int, default=42)
     return p
 

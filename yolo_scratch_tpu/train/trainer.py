@@ -70,12 +70,14 @@ class TrainerConfig:
     # strict=False semantics (models/yolo11_model.py:273-286): missing
     # keys and shape mismatches (different nc/ch head) keep their init.
     pretrained: Optional[str] = None
-    # Early stopping: stop after N epochs without a new best (same gate as
-    # the best checkpoint: val mAP50, falling back to val loss when the
-    # loader produces no mAP). 0 disables. The reference always runs the
-    # full --epochs budget; this is extra capability. On resume the
-    # counter restarts (bests are restored, so it can only stop late, not
-    # early).
+    # Early stopping: stop after N epochs in which val fitness (mAP50,
+    # falling back to -val_loss) did not reach its running best. The gate
+    # is >= (Ultralytics semantics): an exact plateau — including the
+    # cold-start mAP=0 epochs before the model detects anything — refreshes
+    # the clock rather than counting toward the stop, so patience only
+    # fires on genuine regression from a peak. 0 disables. The reference
+    # always runs the full --epochs budget; this is extra capability. On
+    # resume the counter restarts.
     patience: int = 0
 
 
@@ -417,7 +419,7 @@ class Trainer:
         if resume:
             self.resume()
         history = []
-        since_improve = 0
+        since_improve, patience_best = 0, -float("inf")
         for epoch in range(self.start_epoch, self.cfg.epochs):
             lr = float(self.schedule(epoch * max(len(self.train_loader), 1)))
             if self._in_final_phase(epoch) and not self._in_final_phase(epoch - 1):
@@ -451,27 +453,24 @@ class Trainer:
                     **{f"train/{k}": v for k, v in train_metrics.items()},
                     **{f"val/{k}": v for k, v in val_metrics.items()},
                 )
-            improved = False
             if self.ckpt is not None:
-                self.best_loss, self.best_map50, improved = self.ckpt.save_epoch(
+                self.best_loss, self.best_map50, saved = self.ckpt.save_epoch(
                     self.state, epoch, train_metrics, val_metrics, self.best_loss, self.best_map50
                 )
-                if improved:
+                if saved:
                     print(f"  ✓ saved best (mAP50 {self.best_map50:.4f})")
-            elif val_metrics:
-                # no checkpoint dir: apply the same best gate for patience
-                if "mAP50" in val_metrics:
-                    if val_metrics["mAP50"] > self.best_map50:
-                        self.best_map50, improved = float(val_metrics["mAP50"]), True
-                elif val_metrics.get("loss", float("inf")) < self.best_loss:
-                    self.best_loss, improved = float(val_metrics["loss"]), True
             history.append({"epoch": epoch, "train": train_metrics, "val": val_metrics})
             if self.cfg.patience > 0 and val_metrics:
-                since_improve = 0 if improved else since_improve + 1
+                fitness = val_metrics.get(
+                    "mAP50", -val_metrics.get("loss", float("inf")))
+                if fitness >= patience_best:  # plateau refreshes the clock
+                    patience_best, since_improve = fitness, 0
+                else:
+                    since_improve += 1
                 if since_improve >= self.cfg.patience:
-                    print(f"--> early stop at epoch {epoch + 1}: no val "
-                          f"improvement in {self.cfg.patience} epochs "
-                          f"(best mAP50 {self.best_map50:.4f})")
+                    print(f"--> early stop at epoch {epoch + 1}: val fitness "
+                          f"below its best ({patience_best:.4f}) for "
+                          f"{self.cfg.patience} epochs")
                     break
         return {
             "history": history,
