@@ -43,6 +43,17 @@ def main():
         "batch_stats": variables["batch_stats"],
     }
 
+    # BENCH_INT8=1: opt-in int8 PTQ variant (docs/QUANT.md). Random-data
+    # calibration — scales are arbitrary for a throughput measurement; the
+    # compute graph (s8xs8->s32 convs + fused dequant) is the real one.
+    int8 = os.environ.get("BENCH_INT8") == "1"
+    if int8:
+        from yolo_scratch_tpu.nn.quant import quantize_for_deploy
+
+        calib = np.random.RandomState(1).randint(
+            0, 256, (4, img, img, ch)).astype(np.float32) / 255.0
+        variables = quantize_for_deploy(model, variables, [calib])
+
     def infer_one(variables, x):
         # u8 input (the streaming deploy contract — data/native.py ships
         # uint8; PredictorConfig.u8_transfer): normalize in-jit, in bf16
@@ -113,7 +124,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "yolo11n_640_infer_images_per_sec_per_chip",
+                "metric": "yolo11n_640_infer_images_per_sec_per_chip"
+                + ("_int8" if int8 else ""),
                 "value": round(imgs_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(imgs_per_sec / 2000.0, 4),

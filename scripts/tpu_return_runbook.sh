@@ -28,6 +28,7 @@ timeout 2400 python bench.py | tee /tmp/bench_check.json
 #     (Regenerate the synthetic COCO set first if /tmp was wiped — set -e
 #     would otherwise abort the whole runbook here.)
 timeout 2400 python scripts/probe_int8_conv.py | tee /tmp/int8_probe.json
+BENCH_INT8=1 timeout 2400 python bench.py | tee /tmp/bench_int8.json
 [ -d /tmp/coco_synth600 ] || python scripts/gen_coco_synth.py --n 600 --out /tmp/coco_synth600
 timeout 2400 python scripts/eval_quant.py --data /tmp/coco_synth600 \
     --ckpt runs/ab_recipe --which last --imgsz 320 --batch 32 | tee /tmp/int8_tpu_eval.json

@@ -210,3 +210,31 @@ def test_serve_daemon_int8(small_model):
     finally:
         httpd.shutdown()
         batching.close()
+
+
+def test_sharded_int8_predictor_matches_single_device(small_model):
+    """int8 composes with scale-out serving: shard_over a quantized
+    Predictor == single-device, outputs batch-sharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from yolo_scratch_tpu.infer import Predictor, PredictorConfig
+    from yolo_scratch_tpu.parallel.mesh import make_mesh
+
+    model, v, x = small_model
+    vq = quantize_for_deploy(model, v, [x])
+    cfg = PredictorConfig(img_size=96, batch_size=8, conf_threshold=0.001,
+                          max_det=32, pre_nms_topk=128, nms_impl="xla")
+    xb = np.random.default_rng(5).integers(0, 256, (8, 96, 96, 1), np.uint8)
+
+    single = Predictor(model, vq, cfg)
+    ref = [np.asarray(o) for o in single._infer(single.variables, xb)]
+    assert ref[3].sum() > 0
+
+    mesh = make_mesh(8)
+    sharded = Predictor(model, vq, cfg).shard_over(mesh)
+    out = sharded._infer(sharded.variables, xb)
+    assert out[0].sharding.is_equivalent_to(
+        NamedSharding(mesh, P("dp")), ndim=out[0].ndim)
+    got = [np.asarray(o) for o in out]
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(g, r, rtol=0, atol=1e-6)
