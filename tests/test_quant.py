@@ -238,3 +238,41 @@ def test_sharded_int8_predictor_matches_single_device(small_model):
     got = [np.asarray(o) for o in out]
     for g, r in zip(got, ref):
         np.testing.assert_allclose(g, r, rtol=0, atol=1e-6)
+
+
+def test_export_cli_int8(tmp_path):
+    """yst-export --int8-calib-dir: checkpoint -> int8 StableHLO artifact."""
+    import cv2
+
+    from yolo_scratch_tpu import export as export_mod
+    from yolo_scratch_tpu.models.builder import build_yolo11
+    from yolo_scratch_tpu.train.checkpoints import CheckpointManager
+    from yolo_scratch_tpu.train.optim import make_optimizer
+    from yolo_scratch_tpu.train.state import create_train_state
+
+    cfg = "yolo_scratch_tpu/configs/yolo11_crater.yaml"
+    model = build_yolo11(cfg, ch=1, nc=5, scale="n")
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        np.zeros((1, 96, 96, 1), np.float32), make_optimizer())
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save_epoch(state, 0, {}, {"mAP50": 0.5}, float("inf"), 0.0)
+    mgr.wait()
+
+    calib_dir = tmp_path / "calib"
+    calib_dir.mkdir()
+    for i in range(3):
+        cv2.imwrite(str(calib_dir / f"c{i}.png"),
+                    (np.random.RandomState(i).rand(96, 96) * 255).astype(np.uint8))
+
+    out = str(tmp_path / "int8.jaxexp")
+    export_mod.main([
+        "--cfg", cfg, "--ckpt", str(tmp_path / "ckpt"), "--which", "best",
+        "--imgsz", "96", "--batch", "2", "--nms-impl", "xla",
+        "--int8-calib-dir", str(calib_dir), "--out", out, "--check",
+    ])
+    art = export_mod.load_artifact(out)
+    x = np.random.default_rng(0).integers(
+        0, 256, art.in_avals[0].shape, np.uint8)
+    outs = [np.asarray(o) for o in jax.jit(art.call)(x)]
+    assert outs[0].shape == (2, 300, 4)

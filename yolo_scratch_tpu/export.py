@@ -112,6 +112,9 @@ def main(argv=None):
     p.add_argument("--out", type=str, required=True, help=f"artifact path ({ARTIFACT_SUFFIX})")
     p.add_argument("--check", action="store_true",
                    help="deserialize the written artifact and run a zeros batch through it")
+    p.add_argument("--int8-calib-dir", type=str, default=None, metavar="DIR",
+                   help="export the int8 deploy graph (nn/quant.py): "
+                        "calibrate activation scales on the images under DIR")
     args = p.parse_args(argv)
 
     model, variables = load_deploy_model(
@@ -123,6 +126,26 @@ def main(argv=None):
         iou_threshold=args.iou, max_det=args.max_det,
         class_aware_nms=args.class_aware, nms_impl=args.nms_impl,
     )
+    if args.int8_calib_dir:
+        from pathlib import Path as _P
+
+        from yolo_scratch_tpu.nn.quant import (
+            count_quantized,
+            prepare_calib_batches,
+            quantize_for_deploy,
+        )
+
+        exts = {".png", ".jpg", ".jpeg", ".bmp"}
+        paths = sorted(str(q) for q in _P(args.int8_calib_dir).rglob("*")
+                       if q.suffix.lower() in exts)
+        if not paths:
+            raise SystemExit(f"--int8-calib-dir: no images under {args.int8_calib_dir}")
+        prep = Predictor(model, variables, cfg)  # host _prepare only
+        batches = prepare_calib_batches(
+            prep, paths, max_batches=-(-len(paths) // args.batch))
+        variables = quantize_for_deploy(model, variables, batches)
+        print(f"int8: quantized {count_quantized(variables['quant'])} conv blocks "
+              f"(calibrated on {len(paths)} images)")
     predictor = Predictor(model, variables, cfg)
     exported = export_predictor(predictor)
     nbytes = save_artifact(exported, args.out)
