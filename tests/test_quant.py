@@ -276,3 +276,32 @@ def test_export_cli_int8(tmp_path):
         0, 256, art.in_avals[0].shape, np.uint8)
     outs = [np.asarray(o) for o in jax.jit(art.call)(x)]
     assert outs[0].shape == (2, 300, 4)
+
+
+def test_quantile_calibration_clips_outliers(conv_block):
+    """Percentile calibration ignores the outlier tail that absmax tracks."""
+    from yolo_scratch_tpu.nn.quant import calibrate_quantile
+
+    m, v, _ = conv_block
+    x = np.random.RandomState(0).randn(2, 16, 16, 4).astype(np.float32)
+    x[0, 0, 0, 0] = 50.0  # single hot pixel
+    am = calibrate_absmax(m, v, [x])
+    qt = calibrate_quantile(m, v, [x], q=0.999)
+    assert float(am["absmax"]) == 50.0
+    assert float(qt["absmax"]) < 5.0  # the bulk of N(0,1) mass
+    # the tree drops into the same builder and the quant path still runs
+    q = build_quant_tree(v["params"], qt)
+    y = np.asarray(m.apply({**v, "quant": q}, x, train=False))
+    assert np.isfinite(y).all()
+
+
+def test_quantize_for_deploy_quantile_mode(small_model):
+    model, v, x = small_model
+    vq = quantize_for_deploy(model, v, [x], quantile=0.999)
+    assert count_quantized(vq["quant"]) > 50
+    f = jax.jit(lambda vv, xx: model.apply(vv, xx, train=False))
+    yq = f(vq, x)
+    yf = f({k: vq[k] for k in ("params", "batch_stats")}, x)
+    for a, b in zip(yf, yq):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() < 0.08 * np.abs(a).max()

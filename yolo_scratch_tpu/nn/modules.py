@@ -76,6 +76,10 @@ class ConvBNAct(nn.Module):
                 init_fn=lambda: jnp.zeros((), jnp.float32),
                 reduce_fn=jnp.maximum,
             )
+        if not self.is_initializing() and self.scope.is_mutable_collection("calib_full"):
+            # full conv input, for percentile calibration (nn/quant.py) —
+            # only ever mounted on small dedicated calibration batches
+            self.sow("calib_full", "x", x.astype(jnp.float32))
         if not train and self.has_variable("quant", "w_q"):
             w_q = self.get_variable("quant", "w_q")  # (k, k, c1/g, c2) int8
             s_w = self.get_variable("quant", "s_w")  # (c2,) f32

@@ -64,6 +64,51 @@ def calibrate_absmax(model, variables: Dict[str, Any], batches: Iterable) -> Dic
     return acc
 
 
+def calibrate_quantile(
+    model, variables: Dict[str, Any], batches: Iterable, q: float = 0.999
+) -> Dict[str, Any]:
+    """Percentile calibration: per-block q-quantile of |conv input|.
+
+    absmax calibration (the default) is outlier-fragile — one hot pixel
+    stretches the int8 grid for the whole tensor. This variant clips the
+    top (1-q) tail instead (values beyond the scale saturate at +-127,
+    which symmetric quantization handles gracefully). Returns the same
+    ``absmax``-leaf tree shape as :func:`calibrate_absmax` (max over
+    batches of per-batch quantiles — conservative), so
+    :func:`build_quant_tree` consumes either interchangeably.
+
+    Mounts the ``calib_full`` collection (every ConvBNAct sows its full
+    conv input), so use small dedicated calibration batches.
+    """
+
+    def _quant_tree(calib_full):
+        # leaves are 1-tuples (sow's default append); quantile on device
+        return jax.tree_util.tree_map(
+            lambda t: jnp.quantile(jnp.abs(t[0]), q),
+            calib_full, is_leaf=lambda t: isinstance(t, tuple))
+
+    @jax.jit
+    def _run(v, x):
+        _, mut = model.apply(v, x, train=False, mutable=["calib_full"])
+        return _quant_tree(mut["calib_full"])
+
+    acc: Optional[Dict[str, Any]] = None
+    for x in batches:
+        got = jax.device_get(_run(variables, x))
+        acc = got if acc is None else jax.tree_util.tree_map(np.maximum, acc, got)
+    if acc is None:
+        raise ValueError("calibrate_quantile: no calibration batches supplied")
+    # rename leaves: {"x": val} -> {"absmax": val} so build_quant_tree
+    # consumes the tree unchanged
+
+    def _rename(node):
+        if isinstance(node, dict):
+            return {("absmax" if k == "x" else k): _rename(v) for k, v in node.items()}
+        return node
+
+    return _rename(acc)
+
+
 def _quantize_kernel(kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Per-output-channel symmetric int8: kernel (k,k,ci,co) -> (w_q, s_w)."""
     k = np.asarray(kernel, np.float32)
@@ -110,17 +155,23 @@ def quantize_for_deploy(
     variables: Dict[str, Any],
     calib_batches: Sequence,
     skip: Optional[Callable[[Tuple[str, ...]], bool]] = None,
+    quantile: Optional[float] = None,
 ) -> Dict[str, Any]:
     """BN-fold, calibrate, and attach the int8 ``"quant"`` collection.
 
     Returns variables ready for ``model.apply(..., train=False)`` /
     ``Predictor``: params BN-folded (idempotent if already folded), plus a
     ``"quant"`` tree that flips every covered ConvBNAct to the int8 path.
+    ``quantile`` (e.g. 0.999) switches activation calibration from absmax
+    to percentile clipping (outlier-robust; see :func:`calibrate_quantile`).
     """
     from yolo_scratch_tpu.nn.fuse import fuse_conv_bn
 
     fused = fuse_conv_bn(variables)
-    calib = calibrate_absmax(model, fused, calib_batches)
+    if quantile is not None:
+        calib = calibrate_quantile(model, fused, calib_batches, q=quantile)
+    else:
+        calib = calibrate_absmax(model, fused, calib_batches)
     quant = build_quant_tree(fused["params"], calib, skip=skip)
     out = dict(fused)
     out["quant"] = quant
