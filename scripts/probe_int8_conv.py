@@ -39,21 +39,29 @@ SHAPES = [
 ]
 
 
-def time_fn(fn, *args, reps):
-    """In-jit scan repeat; sync by fetching bytes (axon block_until_ready lies)."""
+def time_fn(fn, x, reps):
+    """In-jit scan repeat; sync by fetching bytes (axon block_until_ready lies).
+
+    The conv output shape differs from its input (stride / channel change),
+    so the scan carries a scalar accumulator instead of the activation; a
+    per-iteration input perturbation stops XLA hoisting the conv out of the
+    loop (same pattern as probe_conv_perf.make_conv_loop). The jnp.sum
+    epilogue re-reads y once per iter — identical cost on both arms.
+    """
 
     @jax.jit
     def loop(x):
-        def body(c, _):
-            return fn(c), 0.0
-        y, _ = jax.lax.scan(body, x, None, length=reps)
-        return y
+        def body(acc, c):
+            y = fn((x + c.astype(x.dtype)) if x.dtype != jnp.int8
+                   else (x ^ (c & 1).astype(jnp.int8)))
+            return acc + jnp.sum(y.astype(jnp.float32)), None
+        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(reps, dtype=jnp.int32))
+        return acc
 
-    y = loop(*args)
-    np.asarray(jax.tree_util.tree_leaves(y)[0][0, 0])  # warm + sync
+    np.asarray(loop(x))  # warm + sync
     t0 = time.perf_counter()
-    y = loop(*args)
-    np.asarray(jax.tree_util.tree_leaves(y)[0][0, 0])
+    acc = loop(x)
+    np.asarray(acc)
     return (time.perf_counter() - t0) / reps
 
 
