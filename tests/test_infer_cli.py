@@ -63,11 +63,14 @@ def test_infer_cli_serves_nc80_checkpoint(tmp_path):
             img_dir / f"i{i}.png")
 
     out = tmp_path / "preds.json"
+    viz_dir = tmp_path / "viz"
     results = infer_cli.main([
         "--images", str(img_dir), "--ckpt", str(tmp_path / "ckpt"),
         "--imgsz", "160", "--batch", "2", "--out", str(out), "--class-aware",
+        "--save-viz", str(viz_dir),
     ])
     assert len(results) == 3
+    assert len(list(viz_dir.glob("*.png"))) == 3  # one annotated PNG each
     data = json.loads(out.read_text())
     assert len(data) == 3
     for row in data:

@@ -416,6 +416,12 @@ def main(argv=None):
                    help="serve int8 (nn/quant.py): calibrate activation "
                         "scales on the first N input batches, then quantize "
                         "every ConvBNAct to symmetric int8 (0 = off)")
+    p.add_argument("--save-viz", type=str, default=None, metavar="DIR",
+                   help="write annotated PNGs (class-colored boxes + scores "
+                        "on the original images) to DIR")
+    p.add_argument("--names", type=str, default=None,
+                   help="class-name file for --save-viz: one name per line, "
+                        "a JSON array, or a COCO annotations json")
     args = p.parse_args(argv)
 
     root = Path(args.images)
@@ -460,6 +466,13 @@ def main(argv=None):
     results = list(predictor.predict_paths(paths))
     dt = time.perf_counter() - t0
     print(f"{len(paths)} images in {dt:.2f}s ({len(paths) / dt:.1f} img/s)")
+    if args.save_viz:
+        from yolo_scratch_tpu.utils.viz import load_class_names, save_annotated
+
+        written = save_annotated(
+            results, args.save_viz, class_names=load_class_names(args.names)
+        )
+        print(f"wrote {len(written)} annotated images to {args.save_viz}")
     if args.out:
         Path(args.out).write_text(json.dumps(results))
         print(f"wrote {args.out}")
