@@ -127,3 +127,64 @@ def test_yolox_loss_decreases():
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
     assert float(aux["num_fg"]) > 0
+
+
+def test_yolox_s_init_logits_bounded():
+    """Round-3 NaN regression: pred convs must use the torch-default
+    (fan_in) init, not the reference trainer's blanket kaiming fan_out —
+    fan_out=4 on the 1x1 reg conv gave init wh logits ~±60 at s-width,
+    whose exp() made the first gradient infinite and the global-norm clip
+    emit NaN params (models/yolox.py TORCH_CONV_DEFAULT rationale)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_scratch_tpu.models.yolox import YOLOXModel
+
+    model = YOLOXModel.from_scale("s", nc=80)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 160, 160, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    outs, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    flat = jnp.concatenate([o.reshape(2, -1, 85) for o in outs], axis=1)
+    # reg/obj logits O(1) at init; cls carries the -4.595 prior bias
+    assert float(jnp.abs(flat[..., :5]).max()) < 8.0
+    assert float(jnp.abs(flat[..., 5:]).max()) < 12.0
+
+
+def test_yolox_train_step_survives_divergent_wh_logits():
+    """Defense-in-depth for the same failure: even with the reg branch
+    forced to emit huge wh logits, the capped exp (WH_LOGIT_CAP) must keep
+    the loss and the post-step params finite — an unguarded exp turns the
+    gradient norm infinite and clip_by_global_norm into inf*0 = NaN."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolo_scratch_tpu.data.synthetic import SyntheticDataset
+    from yolo_scratch_tpu.data.loader import Loader
+    from yolo_scratch_tpu.losses.simota import YOLOXLossConfig
+    from yolo_scratch_tpu.models.yolox import YOLOXModel
+    from yolo_scratch_tpu.train.optim import cosine_epoch_schedule, make_optimizer
+    from yolo_scratch_tpu.train.state import create_train_state
+    from yolo_scratch_tpu.train.steps import build_train_step_custom, yolox_loss_adapter
+
+    ds = SyntheticDataset(n=4, img_size=64, channels=3, num_classes=5)
+    loader = Loader(ds, batch_size=4, max_gt=8, prefetch=0)
+    batch = next(iter(loader))
+
+    model = YOLOXModel.from_scale("nano", nc=5)
+    tx = make_optimizer(cosine_epoch_schedule(1e-3, 2, 1, 1), 5e-4, 10.0)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch["img"][:1], tx)
+
+    # force divergence: scale every reg_pred kernel/bias so wh logits >> cap
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, x: x * 2000.0 if any("reg_pred" in str(p) for p in path) else x,
+        state.params,
+    )
+    state = state.replace(params=params)
+
+    step = jax.jit(build_train_step_custom(
+        model, yolox_loss_adapter(YOLOXLossConfig(nc=5))))
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert all(bool(jnp.all(jnp.isfinite(x)))
+               for x in jax.tree_util.tree_leaves(state.params))

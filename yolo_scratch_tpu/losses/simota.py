@@ -27,6 +27,7 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
+from yolo_scratch_tpu.models.yolox import WH_LOGIT_CAP
 from yolo_scratch_tpu.ops.anchors import make_anchors
 from yolo_scratch_tpu.ops.boxes import pairwise_iou
 
@@ -148,7 +149,11 @@ def yolox_loss(
     cls_logits = flat[..., 5:]
 
     xy = (raw_reg[..., :2] + anchor_points[None]) * stride_t[None]
-    wh = jnp.exp(raw_reg[..., 2:4]) * stride_t[None]
+    # capped exp (models/yolox.py WH_LOGIT_CAP): a transiently divergent wh
+    # logit must yield a huge-but-finite box, not inf — inf areas make the
+    # IoU NaN and an infinite gradient norm turns clip_by_global_norm into
+    # a NaN factory (inf * 0), poisoning the params in one step.
+    wh = jnp.exp(jnp.clip(raw_reg[..., 2:4], -WH_LOGIT_CAP, WH_LOGIT_CAP)) * stride_t[None]
     pred_boxes = jnp.concatenate([xy - wh / 2, xy + wh / 2], -1)  # (B, A, 4) px
 
     img_h = outs[0].shape[1] * cfg.strides[0]

@@ -139,6 +139,23 @@ class YOLOPAFPN(nn.Module):
         return p3_out, p4_out, p5_out
 
 
+# torch nn.Conv2d default init (kaiming_uniform with a=sqrt(5), i.e.
+# variance 1/(3*fan_in)) — what the official YOLOX leaves its prediction
+# convs at. KAIMING_OUT (the reference trainer's blanket re-init,
+# yolo11_model.py:177-192) is correct under BN but catastrophic on a
+# 1x1 conv with 4 output channels: fan_out=4 gives weight std 0.71,
+# init wh logits of ~±60 at s-width, and exp(60) in the decode turns the
+# first gradient infinite (clip_by_global_norm then emits NaN params).
+TORCH_CONV_DEFAULT = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+# exp() guard for the anchor-free decode: |logit| <= 20 keeps the decoded
+# box <= e^20*stride (~1.5e10 px) so IoU-area products stay finite in f32
+# even mid-divergence; gradients beyond the clamp are zero, which is the
+# standard saturation behavior (official YOLOX hits the same failure
+# unguarded under fp16).
+WH_LOGIT_CAP = 20.0
+
+
 class YOLOXHead(nn.Module):
     """Decoupled head. Per level returns raw (B, H, W, 4+1+nc):
     [reg(4), obj(1), cls(nc)] — obj/cls as logits."""
@@ -156,13 +173,14 @@ class YOLOXHead(nn.Module):
             s = ConvBNAct(ch, 1, 1, name=f"stem_{i}")(f, train)
             c = ConvBNAct(ch, 3, 1, name=f"cls_conv_{i}_0")(s, train)
             c = ConvBNAct(ch, 3, 1, name=f"cls_conv_{i}_1")(c, train)
-            cls = nn.Conv(self.nc, (1, 1), kernel_init=KAIMING_OUT, bias_init=bias_init,
-                          name=f"cls_pred_{i}")(c)
+            cls = nn.Conv(self.nc, (1, 1), kernel_init=TORCH_CONV_DEFAULT,
+                          bias_init=bias_init, name=f"cls_pred_{i}")(c)
             r = ConvBNAct(ch, 3, 1, name=f"reg_conv_{i}_0")(s, train)
             r = ConvBNAct(ch, 3, 1, name=f"reg_conv_{i}_1")(r, train)
-            reg = nn.Conv(4, (1, 1), kernel_init=KAIMING_OUT, name=f"reg_pred_{i}")(r)
-            obj = nn.Conv(1, (1, 1), kernel_init=KAIMING_OUT, bias_init=bias_init,
-                          name=f"obj_pred_{i}")(r)
+            reg = nn.Conv(4, (1, 1), kernel_init=TORCH_CONV_DEFAULT,
+                          name=f"reg_pred_{i}")(r)
+            obj = nn.Conv(1, (1, 1), kernel_init=TORCH_CONV_DEFAULT,
+                          bias_init=bias_init, name=f"obj_pred_{i}")(r)
             outs.append(jnp.concatenate([reg, obj, cls], -1))
         return outs
 
@@ -209,7 +227,7 @@ def yolox_decode(
         [(o.shape[1], o.shape[2], s) for o, s in zip(outs, strides)], 0.0, dtype=flat.dtype
     )
     xy = (flat[..., :2] + anchor_points[None]) * stride_t[None]
-    wh = jnp.exp(flat[..., 2:4]) * stride_t[None]
+    wh = jnp.exp(jnp.clip(flat[..., 2:4], -WH_LOGIT_CAP, WH_LOGIT_CAP)) * stride_t[None]
     if xywh:
         box = jnp.concatenate([xy, wh], -1)
     else:
