@@ -429,12 +429,19 @@ class Trainer:
             train_metrics = self.train_epoch(epoch)
             val_metrics = self.validate()
 
+            # component keys differ per loss family (v8: box/cls/dfl,
+            # YOLOX/SimOTA: iou/obj/cls/l1) — print whichever are present
+            parts = " ".join(
+                f"{label} {train_metrics[key]:.4f}"
+                for label, key in (("box", "box_loss"), ("iou", "iou_loss"),
+                                   ("obj", "obj_loss"), ("cls", "cls_loss"),
+                                   ("dfl", "dfl_loss"), ("l1", "l1_loss"))
+                if key in train_metrics
+            )
             print(
                 f"Epoch {epoch + 1}/{self.cfg.epochs} | lr {lr:.6f} | "
                 f"train loss {train_metrics.get('loss', float('nan')):.4f} "
-                f"(box {train_metrics.get('box_loss', 0):.4f} "
-                f"cls {train_metrics.get('cls_loss', 0):.4f} "
-                f"dfl {train_metrics.get('dfl_loss', 0):.4f}) | "
+                f"({parts}) | "
                 f"{train_metrics.get('imgs_per_sec', 0):.1f} img/s"
             )
             if val_metrics:
