@@ -35,10 +35,15 @@ timeout 2400 python scripts/eval_quant.py --data /tmp/coco_synth600 \
 
 # 4. YOLOX accuracy at recipe scale (STATUS item 2b): same 600-image
 #    synthetic COCO-format set + budget as the YOLO11 recipe A/B
-#    (docs/RECIPE_AB.md). Regenerate the data if /tmp was wiped:
+#    (docs/RECIPE_AB.md). Regenerate the data if /tmp was wiped.
+#    STATUS end of round 3: first attempt NaN'd (init bug, fixed in
+#    32daf99); relaunch reached mAP50 0.831 at epoch 22/80, still rising,
+#    when the round clock forced a stop (docs/YOLOX_RECIPE.md). Round 4:
+#    run the full budget (~25 min warm at ~31 img/s incl. the end phase)
+#    and add the --no-augment baseline at equal budget for the A/B.
 [ -d /tmp/coco_synth600 ] || python scripts/gen_coco_synth.py --n 600 --out /tmp/coco_synth600
 timeout 36000 python -m yolo_scratch_tpu.train.cli \
     --data /tmp/coco_synth600 --model yolox --scale s \
     --epochs 80 --batch 16 --imgsz 320 \
     --augment --mosaic 0.5 --mixup 0.5 --multiscale --ema --final-epochs 10 \
-    --save-dir /tmp/yolox_recipe 2>&1 | tee /tmp/yolox_recipe.log
+    --patience 25 --save-dir /tmp/yolox_recipe 2>&1 | tee /tmp/yolox_recipe.log
