@@ -134,6 +134,48 @@ def test_poisoned_request_does_not_fail_neighbors(served):
     assert codes[1] == 500                      # the poison fails alone
 
 
+def test_oversized_body_rejected(served):
+    """A Content-Length above the cap gets 413 WITHOUT the body being read
+    (one huge POST must not OOM the daemon), and the server stays alive."""
+    url, _ = served
+    import http.client
+    import urllib.parse
+
+    host = urllib.parse.urlparse(url).netloc
+    conn = http.client.HTTPConnection(host, timeout=30)
+    try:
+        # claim a 10 GiB body but send none — the 413 must come back
+        # before any body bytes arrive
+        conn.putrequest("POST", "/v1/detect")
+        conn.putheader("Content-Length", str(10 << 30))
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 413
+        assert "cap" in json.loads(resp.read())["error"]
+    finally:
+        conn.close()
+    with urllib.request.urlopen(f"{url}/healthz", timeout=30) as r:
+        assert json.loads(r.read())["ok"] is True
+
+
+def test_healthz_latency_and_fill_stats(served):
+    """/healthz reports per-request latency percentiles and batch fill rate
+    once traffic has flowed (VERDICT r3: production claims need latency
+    observability)."""
+    url, _ = served
+    rng = np.random.RandomState(4)
+    req = urllib.request.Request(
+        f"{url}/v1/detect", data=_png_bytes(rng), method="POST")
+    with urllib.request.urlopen(req, timeout=300):
+        pass
+    with urllib.request.urlopen(f"{url}/healthz", timeout=30) as r:
+        stats = json.loads(r.read())["stats"]
+    assert stats["requests"] >= 1 and stats["batches"] >= 1
+    assert 0.0 < stats["batch_fill"] <= 1.0
+    lat = stats["latency_ms"]
+    assert lat["n"] >= 1 and 0 < lat["p50"] <= lat["p99"]
+
+
 def test_serve_over_dp_mesh():
     """BatchingServer composes with Predictor.shard_over: the daemon's
     fixed-shape batches run the shard_map'd deploy program on a dp mesh."""

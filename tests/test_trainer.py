@@ -85,3 +85,39 @@ def test_early_stopping_patience(tmp_path):
     result = trainer.fit(resume=False)
     # epochs run: indices 0..6 (peak at 4; 5 and 6 below best -> stop)
     assert len(result["history"]) == 7
+
+
+def test_early_stopping_survives_resume(tmp_path):
+    """The patience counter persists in the checkpoint meta: a run killed
+    mid-plateau and relaunched stops at the SAME epoch as an uninterrupted
+    one (VERDICT r3 item 8 — previously the counter restarted on resume and
+    the resumed run trained arbitrarily past the intended stop)."""
+    import dataclasses
+
+    curve = [0.0, 0.0, 0.0, 0.5, 0.6, 0.55, 0.50, 0.45, 0.44, 0.43]
+
+    def scripted(trainer, values):
+        calls = iter(values)
+        trainer.validate = lambda: {"loss": 1.0, "mAP50": next(calls),
+                                    "mAP50-95": 0.0, "precision": 0, "recall": 0}
+
+    # "killed" run: same curve, but the process dies after epoch index 5
+    # (one epoch into the post-peak decline, counter = 1)
+    t1 = _make_trainer(tmp_path, epochs=6)
+    t1.cfg = dataclasses.replace(t1.cfg, patience=2)
+    scripted(t1, curve[:6])
+    r1 = t1.fit(resume=False)
+    assert len(r1["history"]) == 6
+    meta = json.loads((tmp_path / "run" / "last.meta.json").read_text())
+    assert meta["patience"] == {"since_improve": 1, "best": 0.6}
+
+    # relaunch with the full budget: must restore counter=1/best=0.6 and
+    # stop after epoch index 6 — exactly where the uninterrupted run
+    # (test_early_stopping_patience) stops
+    t2 = _make_trainer(tmp_path, epochs=10)
+    t2.cfg = dataclasses.replace(t2.cfg, patience=2)
+    scripted(t2, curve[6:])
+    r2 = t2.fit(resume=True)
+    assert t2.start_epoch == 6
+    assert t2.since_improve == 2 and t2.patience_best == 0.6
+    assert len(r2["history"]) == 1  # only epoch index 6 ran

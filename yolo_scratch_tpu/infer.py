@@ -473,6 +473,9 @@ def main(argv=None):
             results, args.save_viz, class_names=load_class_names(args.names)
         )
         print(f"wrote {len(written)} annotated images to {args.save_viz}")
+    elif args.names:
+        print("warning: --names only labels --save-viz renderings; the JSON "
+              "output keeps integer labels. Pass --save-viz DIR to use it.")
     if args.out:
         Path(args.out).write_text(json.dumps(results))
         print(f"wrote {args.out}")

@@ -153,7 +153,13 @@ def yolox_loss(
     # logit must yield a huge-but-finite box, not inf — inf areas make the
     # IoU NaN and an infinite gradient norm turns clip_by_global_norm into
     # a NaN factory (inf * 0), poisoning the params in one step.
-    wh = jnp.exp(jnp.clip(raw_reg[..., 2:4], -WH_LOGIT_CAP, WH_LOGIT_CAP)) * stride_t[None]
+    # Straight-through cap: exp sees the clipped value (stays finite) but an
+    # out-of-range logit still receives unit gradient, so a saturated logit
+    # keeps a restoring IoU-loss gradient instead of waiting on weight decay.
+    wh_logit = raw_reg[..., 2:4]
+    wh_logit = wh_logit - jax.lax.stop_gradient(
+        wh_logit - jnp.clip(wh_logit, -WH_LOGIT_CAP, WH_LOGIT_CAP))
+    wh = jnp.exp(wh_logit) * stride_t[None]
     pred_boxes = jnp.concatenate([xy - wh / 2, xy + wh / 2], -1)  # (B, A, 4) px
 
     img_h = outs[0].shape[1] * cfg.strides[0]

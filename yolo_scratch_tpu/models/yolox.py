@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from yolo_scratch_tpu.nn.modules import KAIMING_OUT, ConvBNAct, upsample2x
+from yolo_scratch_tpu.nn.modules import ConvBNAct, upsample2x
 from yolo_scratch_tpu.ops.anchors import make_anchors
 
 SCALES = {

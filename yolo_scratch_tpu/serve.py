@@ -34,7 +34,10 @@ import os
 import queue
 import tempfile
 import threading
+import time
+from collections import deque
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FutureTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from typing import Optional
@@ -49,7 +52,14 @@ class BatchingServer:
         self.predictor = predictor
         self.max_wait_s = max_wait_ms / 1e3
         self._q: "queue.Queue[Optional[tuple]]" = queue.Queue()
-        self.stats = {"requests": 0, "batches": 0, "batch_rows": 0}
+        # all stats mutations happen under the lock: counters are touched
+        # from every HTTP handler thread AND the worker thread, and the
+        # latency reservoir append/snapshot is a compound operation
+        self._lock = threading.Lock()
+        self.stats = {"requests": 0, "batches": 0, "batch_rows": 0, "errors": 0}
+        # rolling in-server latency window (enqueue -> future resolution);
+        # bounded so a long-lived daemon can't grow it unboundedly
+        self._latencies: "deque[float]" = deque(maxlen=4096)
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -58,9 +68,39 @@ class BatchingServer:
     def submit(self, image_bytes: bytes) -> Future:
         """Enqueue one image; the Future resolves to the response dict."""
         fut: Future = Future()
+        t0 = time.monotonic()
+
+        def _record(f, t0=t0):
+            dt = time.monotonic() - t0
+            with self._lock:
+                self._latencies.append(dt)
+                if f.exception() is not None:
+                    self.stats["errors"] += 1
+
+        fut.add_done_callback(_record)
         self._q.put((image_bytes, fut))
-        self.stats["requests"] += 1
+        with self._lock:
+            self.stats["requests"] += 1
         return fut
+
+    def snapshot(self) -> dict:
+        """Consistent stats snapshot for /healthz: counters, batch fill rate,
+        and p50/p99/mean in-server latency over the rolling window."""
+        B = self.predictor.cfg.batch_size
+        with self._lock:
+            out = dict(self.stats)
+            lat = np.asarray(self._latencies, np.float64)
+        out["batch_size"] = B
+        if out["batches"]:
+            out["batch_fill"] = round(out["batch_rows"] / (out["batches"] * B), 4)
+        if lat.size:
+            out["latency_ms"] = {
+                "n": int(lat.size),
+                "p50": round(float(np.percentile(lat, 50)) * 1e3, 3),
+                "p99": round(float(np.percentile(lat, 99)) * 1e3, 3),
+                "mean": round(float(lat.mean()) * 1e3, 3),
+            }
+        return out
 
     def close(self):
         self._q.put(None)
@@ -101,8 +141,9 @@ class BatchingServer:
             if entries is None:
                 return
             n = len(entries)
-            self.stats["batches"] += 1
-            self.stats["batch_rows"] += n
+            with self._lock:
+                self.stats["batches"] += 1
+                self.stats["batch_rows"] += n
             # the native/cv2 decode tier reads files; spool the request
             # bodies to tmp (RAM-backed on most deploys) and reuse the
             # whole batched _prepare path, padding to the static shape
@@ -150,8 +191,13 @@ class BatchingServer:
 
 def make_http_server(batching: BatchingServer, host: str = "127.0.0.1",
                      port: int = 8008, model_name: str = "yolo11",
-                     timeout_s: float = 60.0) -> ThreadingHTTPServer:
-    """Wrap a BatchingServer in a stdlib threaded HTTP server."""
+                     timeout_s: float = 60.0,
+                     max_body_bytes: int = 32 << 20) -> ThreadingHTTPServer:
+    """Wrap a BatchingServer in a stdlib threaded HTTP server.
+
+    ``max_body_bytes`` caps the request body read (default 32 MiB — far
+    above any real encoded image) so one oversized POST cannot OOM the
+    daemon; violations get 413 and the connection is dropped unread."""
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet; stats live in /healthz
@@ -168,7 +214,7 @@ def make_http_server(batching: BatchingServer, host: str = "127.0.0.1",
         def do_GET(self):
             if self.path == "/healthz":
                 self._json(200, {"ok": True, "model": model_name,
-                                 "stats": dict(batching.stats)})
+                                 "stats": batching.snapshot()})
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 
@@ -176,14 +222,28 @@ def make_http_server(batching: BatchingServer, host: str = "127.0.0.1",
             if self.path != "/v1/detect":
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                self._json(400, {"error": "bad Content-Length"})
+                return
             if length <= 0:
                 self._json(400, {"error": "empty body; POST raw image bytes"})
+                return
+            if length > max_body_bytes:
+                # reply without reading the body, then drop the connection
+                # (the client may still be streaming it)
+                self.close_connection = True
+                self._json(413, {"error": f"body {length} bytes exceeds cap "
+                                          f"{max_body_bytes}"})
                 return
             blob = self.rfile.read(length)
             try:
                 result = batching.submit(blob).result(timeout=timeout_s)
                 self._json(200, result)
+            except FutureTimeout:
+                self._json(503, {"error": f"timed out after {timeout_s}s "
+                                          "(server overloaded?)"})
             except Exception as err:  # noqa: BLE001
                 self._json(500, {"error": str(err)})
 
@@ -214,6 +274,8 @@ def main(argv=None):
     p.add_argument("--ch", type=int, default=None)
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8008)
+    p.add_argument("--max-body-mb", type=int, default=32,
+                   help="reject request bodies larger than this (413)")
     p.add_argument("--int8-calib-dir", type=str, default=None, metavar="DIR",
                    help="serve int8 (nn/quant.py): calibrate activation "
                         "scales on the images under DIR, then quantize "
@@ -248,7 +310,8 @@ def main(argv=None):
               f"(calibrated on {len(paths)} images)")
     predictor = Predictor(model, variables, cfg)
     batching = BatchingServer(predictor, max_wait_ms=args.max_wait_ms)
-    httpd = make_http_server(batching, host=args.host, port=args.port)
+    httpd = make_http_server(batching, host=args.host, port=args.port,
+                             max_body_bytes=args.max_body_mb << 20)
     print(f"serving on http://{args.host}:{httpd.server_address[1]} "
           f"(batch {args.batch}, window {args.max_wait_ms} ms)")
     try:

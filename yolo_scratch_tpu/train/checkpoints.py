@@ -132,9 +132,14 @@ class CheckpointManager:
         val_metrics: Dict[str, float],
         best_loss: float,
         best_map50: float,
+        extra_meta: Optional[Dict[str, Any]] = None,
     ) -> Tuple[float, float, bool]:
         """Save ``last``; maybe save ``best``. Returns
-        (best_loss, best_map50, saved_best)."""
+        (best_loss, best_map50, saved_best).
+
+        ``extra_meta``: merged into the meta json (e.g. the Trainer's
+        early-stopping counters) — kept out of the array tree so old
+        checkpoints stay restorable and new ones restore under old code."""
         tree = {
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -149,6 +154,8 @@ class CheckpointManager:
             "best_loss": best_loss,
             "best_mAP50": best_map50,
         }
+        if extra_meta:
+            meta.update(extra_meta)
         writer = self._is_writer()
         self._save_tree("last", tree)
         if writer:
@@ -171,6 +178,14 @@ class CheckpointManager:
                 (self.dir / "best.meta.json").write_text(json.dumps(meta))
             saved_best = True
         return best_loss, best_map50, saved_best
+
+    def load_meta(self, name: str = "last") -> Optional[Dict[str, Any]]:
+        """The checkpoint's meta json (epoch, metrics, bests, any
+        ``extra_meta`` from ``save_epoch``), or None when absent."""
+        meta_path = self.dir / f"{name}.meta.json"
+        if not meta_path.exists():
+            return None
+        return json.loads(meta_path.read_text())
 
     def peek_raw(self, name: str = "best") -> Optional[Dict[str, Any]]:
         """Restore the checkpoint as a raw tree (no target) for shape

@@ -76,8 +76,9 @@ class TrainerConfig:
     # cold-start mAP=0 epochs before the model detects anything — refreshes
     # the clock rather than counting toward the stop, so patience only
     # fires on genuine regression from a peak. 0 disables. The reference
-    # always runs the full --epochs budget; this is extra capability. On
-    # resume the counter restarts.
+    # always runs the full --epochs budget; this is extra capability. The
+    # counter/best persist in the checkpoint meta, so a kill/relaunch run
+    # stops at the same epoch as an uninterrupted one.
     patience: int = 0
 
 
@@ -274,6 +275,10 @@ class Trainer:
         self.best_loss = float("inf")
         self.best_map50 = 0.0
         self.start_epoch = 0
+        # early-stopping state; checkpointed in the meta json and restored
+        # by resume() so patience counts across kill/relaunch
+        self.since_improve = 0
+        self.patience_best = -float("inf")
 
     # ------------------------------------------------------------------
 
@@ -292,6 +297,12 @@ class Trainer:
 
             state = replicate(jax.device_get(state), self.mesh)
         self.state = state
+        if self.start_epoch > 0:
+            meta = self.ckpt.load_meta("last") or {}
+            pat = meta.get("patience")
+            if pat is not None:
+                self.since_improve = int(pat["since_improve"])
+                self.patience_best = float(pat["best"])
         return self.start_epoch > 0
 
     def _place(self, batch: Dict[str, np.ndarray]):
@@ -419,7 +430,6 @@ class Trainer:
         if resume:
             self.resume()
         history = []
-        since_improve, patience_best = 0, -float("inf")
         for epoch in range(self.start_epoch, self.cfg.epochs):
             lr = float(self.schedule(epoch * max(len(self.train_loader), 1)))
             if self._in_final_phase(epoch) and not self._in_final_phase(epoch - 1):
@@ -460,25 +470,33 @@ class Trainer:
                     **{f"train/{k}": v for k, v in train_metrics.items()},
                     **{f"val/{k}": v for k, v in val_metrics.items()},
                 )
+            # update the early-stopping counters BEFORE the checkpoint save so
+            # the persisted state reflects this epoch — a kill/relaunch run
+            # then stops at the same epoch as an uninterrupted one
+            if self.cfg.patience > 0 and val_metrics:
+                fitness = val_metrics.get(
+                    "mAP50", -val_metrics.get("loss", float("inf")))
+                if fitness >= self.patience_best:  # plateau refreshes the clock
+                    self.patience_best, self.since_improve = fitness, 0
+                else:
+                    self.since_improve += 1
             if self.ckpt is not None:
+                extra = None
+                if self.cfg.patience > 0:
+                    extra = {"patience": {"since_improve": self.since_improve,
+                                          "best": self.patience_best}}
                 self.best_loss, self.best_map50, saved = self.ckpt.save_epoch(
-                    self.state, epoch, train_metrics, val_metrics, self.best_loss, self.best_map50
+                    self.state, epoch, train_metrics, val_metrics,
+                    self.best_loss, self.best_map50, extra_meta=extra,
                 )
                 if saved:
                     print(f"  ✓ saved best (mAP50 {self.best_map50:.4f})")
             history.append({"epoch": epoch, "train": train_metrics, "val": val_metrics})
-            if self.cfg.patience > 0 and val_metrics:
-                fitness = val_metrics.get(
-                    "mAP50", -val_metrics.get("loss", float("inf")))
-                if fitness >= patience_best:  # plateau refreshes the clock
-                    patience_best, since_improve = fitness, 0
-                else:
-                    since_improve += 1
-                if since_improve >= self.cfg.patience:
-                    print(f"--> early stop at epoch {epoch + 1}: val fitness "
-                          f"below its best ({patience_best:.4f}) for "
-                          f"{self.cfg.patience} epochs")
-                    break
+            if self.cfg.patience > 0 and self.since_improve >= self.cfg.patience:
+                print(f"--> early stop at epoch {epoch + 1}: val fitness "
+                      f"below its best ({self.patience_best:.4f}) for "
+                      f"{self.cfg.patience} epochs")
+                break
         return {
             "history": history,
             "best_mAP50": self.best_map50,

@@ -38,11 +38,12 @@ def draw_detections(
     class_names: Optional[Sequence[str]] = None,
     line_width: Optional[int] = None,
 ):
-    """Draw xyxy pixel-space detections onto a PIL image (in place; returns it).
+    """Draw xyxy pixel-space detections; returns the annotated image.
 
-    ``image`` is a PIL.Image or a path; paths are opened and converted to
-    RGB (gray crater tiles render as grayscale-in-RGB so colored boxes stay
-    visible).
+    Drawn in place only when the input is already an RGB PIL image;
+    paths and non-RGB images are opened/converted to a NEW RGB image
+    (gray crater tiles render as grayscale-in-RGB so colored boxes stay
+    visible) and the caller's original object is left unmodified.
     """
     from PIL import Image, ImageDraw
 
