@@ -77,7 +77,21 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(err->jb, 1);
 }
 
-uint8_t* decode_jpeg(const uint8_t* data, size_t size, int channels, int* w, int* h) {
+// fit_mode for decode-time scaling hints: how the decoded image will be
+// mapped onto a (tw x th) canvas downstream, which sets the minimum scale
+// the decode must preserve.
+enum FitMode { FIT_NONE = 0, FIT_STRETCH = 1, FIT_LETTERBOX = 2 };
+
+// JPEG decode with optional decode-time downscale (libjpeg scale_num/8):
+// when (tw, th, fit_mode) request a downscale, the IDCT runs at reduced
+// size — e.g. a 1024px JPEG headed for a 640px canvas decodes at 5/8
+// directly to 640px, skipping ~60% of the IDCT + the bilinear resize.
+// The decode NEVER goes below the downstream target (num = ceil(8*need)),
+// so the remaining resize is always a mild downscale or identity.
+// *w/*h return the DECODED dims (resize source); *ow/*oh the true
+// original dims (box-unmapping metadata).
+uint8_t* decode_jpeg(const uint8_t* data, size_t size, int channels, int* w, int* h,
+                     int* ow, int* oh, int tw, int th, int fit_mode) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -92,6 +106,23 @@ uint8_t* decode_jpeg(const uint8_t* data, size_t size, int channels, int* w, int
   jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), size);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = (channels == 1) ? JCS_GRAYSCALE : JCS_RGB;
+  *ow = (int)cinfo.image_width;
+  *oh = (int)cinfo.image_height;
+  if (fit_mode != FIT_NONE && tw > 0 && th > 0) {
+    // required output/input ratio the decode must keep:
+    //   stretch: each dim maps to the canvas independently -> the binding
+    //            ratio is the LARGER per-dim ratio (never decode a dim
+    //            below its target);
+    //   letterbox: aspect preserved, content fits within -> the smaller.
+    double rw = (double)tw / cinfo.image_width;
+    double rh = (double)th / cinfo.image_height;
+    double need = (fit_mode == FIT_LETTERBOX) ? std::min(rw, rh) : std::max(rw, rh);
+    if (need < 1.0) {
+      int num = (int)std::ceil(need * 8.0 - 1e-9);
+      cinfo.scale_num = (unsigned)std::min(std::max(num, 1), 8);
+      cinfo.scale_denom = 8;
+    }
+  }
   jpeg_start_decompress(&cinfo);
   *w = cinfo.output_width;
   *h = cinfo.output_height;
@@ -107,9 +138,16 @@ uint8_t* decode_jpeg(const uint8_t* data, size_t size, int channels, int* w, int
   return buf;
 }
 
-uint8_t* decode_any(const uint8_t* data, size_t size, int channels, int* w, int* h) {
-  if (is_png(data, size)) return decode_png(data, size, channels, w, h);
-  if (is_jpeg(data, size)) return decode_jpeg(data, size, channels, w, h);
+uint8_t* decode_any(const uint8_t* data, size_t size, int channels, int* w, int* h,
+                    int* ow, int* oh, int tw = 0, int th = 0, int fit_mode = FIT_NONE) {
+  if (is_png(data, size)) {
+    uint8_t* p = decode_png(data, size, channels, w, h);
+    *ow = *w;
+    *oh = *h;
+    return p;
+  }
+  if (is_jpeg(data, size))
+    return decode_jpeg(data, size, channels, w, h, ow, oh, tw, th, fit_mode);
   return nullptr;
 }
 
@@ -244,31 +282,41 @@ uint8_t* read_file(const char* path, size_t* out_size) {
 // One image, u8 end-to-end: decode -> (letterbox|stretch) resize straight
 // into the caller's u8 NHWC slot. No float stage — on a single-core host
 // the u8 pipeline is the throughput bound for streaming inference.
+// ``fast_jpeg``: enable decode-time downscale for JPEGs (decode_jpeg above;
+// PNG has no decode-time scaling). Geometry metadata always derives from
+// the TRUE original dims, so box unmapping is unaffected by the hint.
 // Returns 0 ok; fills orig w/h and letterbox transform (scale, px, py).
 int prepare_one_u8(const char* path, int S, int channels, int letterbox, uint8_t pad,
-                   uint8_t* out, int* ow, int* oh, float* scale, int* px, int* py) {
+                   int fast_jpeg, uint8_t* out, int* ow, int* oh, float* scale,
+                   int* px, int* py) {
   size_t n;
   uint8_t* bytes = read_file(path, &n);
   if (!bytes) return -1;
   int w = 0, h = 0;
-  uint8_t* img = decode_any(bytes, n, channels, &w, &h);
+  int fit = fast_jpeg ? (letterbox ? FIT_LETTERBOX : FIT_STRETCH) : FIT_NONE;
+  uint8_t* img = decode_any(bytes, n, channels, &w, &h, ow, oh, S, S, fit);
   std::free(bytes);
   if (!img) return -2;
-  *ow = w;
-  *oh = h;
 
   if (letterbox) {
-    std::memset(out, pad, (size_t)S * S * channels);
-    float r = std::min((float)S / w, (float)S / h);
-    int nw = (int)std::lround(w * r), nh = (int)std::lround(h * r);
-    nw = std::max(nw, 1);
-    nh = std::max(nh, 1);
-    std::vector<uint8_t> tmp((size_t)nw * nh * channels);
-    resize_bilinear(img, h, w, channels, tmp.data(), nh, nw);
+    // transform from TRUE original dims (what detections map back through)
+    float r = std::min((float)S / *ow, (float)S / *oh);
+    int nw = (int)std::lround(*ow * r), nh = (int)std::lround(*oh * r);
+    nw = std::max(std::min(nw, S), 1);
+    nh = std::max(std::min(nh, S), 1);
     int ox = (S - nw) / 2, oy = (S - nh) / 2;
-    for (int y = 0; y < nh; ++y)
-      std::memcpy(out + ((size_t)(y + oy) * S + ox) * channels,
-                  tmp.data() + (size_t)y * nw * channels, (size_t)nw * channels);
+    if (nw == S && nh == S) {
+      // square source at full coverage: no padding, resize straight into
+      // the slot (skips the memset + staging copy)
+      resize_bilinear(img, h, w, channels, out, S, S);
+    } else {
+      std::memset(out, pad, (size_t)S * S * channels);
+      std::vector<uint8_t> tmp((size_t)nw * nh * channels);
+      resize_bilinear(img, h, w, channels, tmp.data(), nh, nw);
+      for (int y = 0; y < nh; ++y)
+        std::memcpy(out + ((size_t)(y + oy) * S + ox) * channels,
+                    tmp.data() + (size_t)y * nw * channels, (size_t)nw * channels);
+    }
     *scale = r;
     *px = ox;
     *py = oy;
@@ -284,11 +332,12 @@ int prepare_one_u8(const char* path, int S, int channels, int letterbox, uint8_t
 
 // f32 variant: u8 core + one normalization pass into [0,1].
 int prepare_one(const char* path, int S, int channels, int letterbox, uint8_t pad,
-                float* out, int* ow, int* oh, float* scale, int* px, int* py) {
+                int fast_jpeg, float* out, int* ow, int* oh, float* scale, int* px,
+                int* py) {
   size_t total = (size_t)S * S * channels;
   std::vector<uint8_t> u8(total);
-  int rc = prepare_one_u8(path, S, channels, letterbox, pad, u8.data(), ow, oh, scale,
-                          px, py);
+  int rc = prepare_one_u8(path, S, channels, letterbox, pad, fast_jpeg, u8.data(), ow,
+                          oh, scale, px, py);
   if (rc) return rc;
   const float inv = 1.0f / 255.0f;
   for (size_t i = 0; i < total; ++i) out[i] = u8[i] * inv;
@@ -305,7 +354,8 @@ uint8_t* yst_decode_file(const char* path, int channels, int* w, int* h) {
   size_t n;
   uint8_t* bytes = read_file(path, &n);
   if (!bytes) return nullptr;
-  uint8_t* img = decode_any(bytes, n, channels, w, h);
+  int ow = 0, oh = 0;  // full decode: orig == decoded
+  uint8_t* img = decode_any(bytes, n, channels, w, h, &ow, &oh);
   std::free(bytes);
   return img;
 }
@@ -320,16 +370,17 @@ void yst_resize_bilinear_u8(const uint8_t* src, int sh, int sw, int c, uint8_t* 
 // Prepare a whole batch: out is (n, S, S, channels) float32, C-contiguous.
 // meta is (n, 5) float32: [orig_w, orig_h, scale, pad_x, pad_y] per image.
 // status is (n,) int32: 0 ok, negative = decode error.
+// fast_jpeg != 0 enables JPEG decode-time downscale (see prepare_one_u8).
 void yst_prepare_batch(const char** paths, int n, int S, int channels, int letterbox,
-                       uint8_t pad_value, int nthreads, float* out, float* meta,
-                       int32_t* status) {
+                       uint8_t pad_value, int nthreads, int fast_jpeg, float* out,
+                       float* meta, int32_t* status) {
   Pool& p = pool(std::max(nthreads, 1));
   size_t slot = (size_t)S * S * channels;
   for (int i = 0; i < n; ++i) {
     p.submit([=] {
       int w = 0, h = 0, px = 0, py = 0;
       float sc = 0.f;
-      status[i] = prepare_one(paths[i], S, channels, letterbox, pad_value,
+      status[i] = prepare_one(paths[i], S, channels, letterbox, pad_value, fast_jpeg,
                               out + slot * i, &w, &h, &sc, &px, &py);
       meta[i * 5 + 0] = (float)w;
       meta[i * 5 + 1] = (float)h;
@@ -345,15 +396,15 @@ void yst_prepare_batch(const char** paths, int n, int S, int channels, int lette
 // the host->device transfer is 4x smaller; the /255 cast runs fused on the
 // accelerator instead.
 void yst_prepare_batch_u8(const char** paths, int n, int S, int channels, int letterbox,
-                          uint8_t pad_value, int nthreads, uint8_t* out, float* meta,
-                          int32_t* status) {
+                          uint8_t pad_value, int nthreads, int fast_jpeg, uint8_t* out,
+                          float* meta, int32_t* status) {
   Pool& p = pool(std::max(nthreads, 1));
   size_t slot = (size_t)S * S * channels;
   for (int i = 0; i < n; ++i) {
     p.submit([=] {
       int w = 0, h = 0, px = 0, py = 0;
       float sc = 0.f;
-      status[i] = prepare_one_u8(paths[i], S, channels, letterbox, pad_value,
+      status[i] = prepare_one_u8(paths[i], S, channels, letterbox, pad_value, fast_jpeg,
                                  out + slot * i, &w, &h, &sc, &px, &py);
       meta[i * 5 + 0] = (float)w;
       meta[i * 5 + 1] = (float)h;
@@ -365,6 +416,6 @@ void yst_prepare_batch_u8(const char** paths, int n, int S, int channels, int le
   p.wait();
 }
 
-int yst_version() { return 1; }
+int yst_version() { return 2; }  // v2: fast_jpeg param in prepare_batch*
 
 }  // extern "C"

@@ -17,13 +17,21 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def _make_images(d: Path, n: int, size: int, fmt: str = "png"):
+def _make_images(d: Path, n: int, size: int, fmt: str = "png", content: str = "noise"):
+    """``content='noise'`` is the historical worst case (PNG filters and
+    JPEG entropy coding both hate it); ``'smooth'`` is a banded gradient
+    closer to natural imagery (real photos sit between the two)."""
     from PIL import Image
 
     rng = np.random.RandomState(0)
     paths = []
     for i in range(n):
-        arr = rng.randint(0, 256, (size, size), np.uint8)
+        if content == "noise":
+            arr = rng.randint(0, 256, (size, size), np.uint8)
+        else:
+            y, x = np.mgrid[0:size, 0:size]
+            arr = ((np.sin(x / (40.0 + i)) + np.cos(y / (31.0 + i))) * 60 + 128
+                   ).clip(0, 255).astype(np.uint8)
         p = d / f"img_{i}.{fmt}"
         Image.fromarray(arr, "L").save(p)
         paths.append(str(p))
@@ -36,18 +44,25 @@ def main(n: int = 64, src: int = 1024, S: int = 640, repeats: int = 3):
     assert available(), "native library failed to build"
     out = {}
     with tempfile.TemporaryDirectory() as td:
-        for fmt in ("png", "jpeg"):
-            paths = _make_images(Path(td), n, src, fmt)
-            for dtype in ("float32", "uint8"):
-                prepare_batch(paths[:2], img_size=S, channels=1, dtype=dtype)  # pool warmup
-                best = float("inf")
-                for _ in range(repeats):
-                    t0 = time.perf_counter()
-                    _, _, status = prepare_batch(paths, img_size=S, channels=1, dtype=dtype)
-                    dt = time.perf_counter() - t0
-                    best = min(best, dt)
-                    assert (status == 0).all()
-                out[f"{fmt}_{dtype}_img_per_s"] = round(n / best, 1)
+        for content in ("noise", "smooth"):
+            for fmt in ("png", "jpeg"):
+                paths = _make_images(Path(td), n, src, fmt, content)
+                variants = [("uint8", False), ("float32", False)]
+                if fmt == "jpeg":  # decode-time downscale applies to JPEG only
+                    variants.insert(0, ("uint8", True))
+                for dtype, fast in variants:
+                    prepare_batch(paths[:2], img_size=S, channels=1, dtype=dtype,
+                                  fast_jpeg=fast)  # pool warmup
+                    best = float("inf")
+                    for _ in range(repeats):
+                        t0 = time.perf_counter()
+                        _, _, status = prepare_batch(
+                            paths, img_size=S, channels=1, dtype=dtype, fast_jpeg=fast)
+                        dt = time.perf_counter() - t0
+                        best = min(best, dt)
+                        assert (status == 0).all()
+                    key = f"{content}_{fmt}_{dtype}" + ("_fastscale" if fast else "")
+                    out[f"{key}_img_per_s"] = round(n / best, 1)
     out.update({"n": n, "src_size": src, "dst_size": S, "note": "1 host core"})
     print(json.dumps(out))
     return out

@@ -70,6 +70,34 @@ def test_rgb_and_error_paths(sample_files):
     assert status[0] != 0
 
 
+def test_fast_jpeg_scale(sample_files):
+    """JPEG decode-time downscale: same geometry metadata, pixels within a
+    small codec tolerance of the full-decode path; PNG byte-identical."""
+    from PIL import Image
+
+    # large smooth source so a real M/8 scale kicks in (256 -> 64 uses 2/8)
+    y, x = np.mgrid[0:256, 0:256]
+    img = ((np.sin(x / 23.0) + np.cos(y / 17.0)) * 60 + 128).astype(np.uint8)
+    d = tempfile.mkdtemp()
+    big = os.path.join(d, "big.jpg")
+    Image.fromarray(img, "L").save(big, quality=95)
+
+    for lb in (False, True):
+        slow, ms, s1 = native.prepare_batch([big], 64, channels=1,
+                                            letterbox=lb, fast_jpeg=False)
+        fast, mf, s2 = native.prepare_batch([big], 64, channels=1,
+                                            letterbox=lb, fast_jpeg=True)
+        assert s1.tolist() == [0] and s2.tolist() == [0]
+        np.testing.assert_array_equal(ms, mf)  # box unmapping unaffected
+        assert np.abs(slow - fast).mean() * 255 < 2.0
+        assert np.abs(slow - fast).max() * 255 < 16.0
+
+    # PNG has no decode-time scaling: flag must be a no-op
+    s, _, _ = native.prepare_batch([sample_files["png"]], 32, channels=1, fast_jpeg=False)
+    f, _, _ = native.prepare_batch([sample_files["png"]], 32, channels=1, fast_jpeg=True)
+    np.testing.assert_array_equal(s, f)
+
+
 def test_prepare_batch_u8_matches_f32(sample_files):
     f32, m1, s1 = native.prepare_batch([sample_files["png"]], 64, channels=1)
     u8, m2, s2 = native.prepare_batch([sample_files["png"]], 64, channels=1, dtype="uint8")

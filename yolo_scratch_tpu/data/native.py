@@ -68,17 +68,22 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.yst_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
     lib.yst_prepare_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_uint8, ctypes.c_int,
+        ctypes.c_int, ctypes.c_uint8, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int32),
     ]
     if hasattr(lib, "yst_prepare_batch_u8"):
         lib.yst_prepare_batch_u8.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_uint8, ctypes.c_int,
+            ctypes.c_int, ctypes.c_uint8, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32),
         ]
+    # ABI guard: the fast_jpeg param landed in v2; a stale .so would read
+    # garbage for it. _load() rebuilds on source mtime, so this only trips
+    # if the rebuild failed and an old binary survived.
+    if lib.yst_version() < 2:
+        return None
     _lib = lib
     return _lib
 
@@ -110,9 +115,17 @@ def prepare_batch(
     pad_value: int = 114,
     threads: int = 4,
     dtype: str = "float32",
+    fast_jpeg: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """``dtype='uint8'`` skips host normalization (4x less host->device
-    transfer; do ``x.astype(...)/255`` inside jit instead)."""
+    transfer; do ``x.astype(...)/255`` inside jit instead).
+
+    ``fast_jpeg``: JPEGs decode at the smallest libjpeg M/8 scale that
+    still covers the target canvas (a 1024px JPEG headed for 640px decodes
+    at 5/8 straight to 640), skipping most of the IDCT and the bilinear
+    resize. Decode-time scaling is DCT-domain, so JPEG pixels differ
+    slightly from full-decode+bilinear (cv2 parity); pass False for exact
+    cv2-compatible semantics. PNGs are unaffected either way."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native host library unavailable")
@@ -124,6 +137,7 @@ def prepare_batch(
         out = np.empty((n, img_size, img_size, channels), np.uint8)
         lib.yst_prepare_batch_u8(
             c_paths, n, img_size, channels, int(letterbox), pad_value, threads,
+            int(fast_jpeg),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             meta.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -132,6 +146,7 @@ def prepare_batch(
         out = np.empty((n, img_size, img_size, channels), np.float32)
         lib.yst_prepare_batch(
             c_paths, n, img_size, channels, int(letterbox), pad_value, threads,
+            int(fast_jpeg),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             meta.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

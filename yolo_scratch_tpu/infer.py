@@ -38,6 +38,11 @@ class PredictorConfig:
     class_aware_nms: bool = False
     host_threads: int = 4
     u8_transfer: bool = True  # ship uint8 to the device; /255 runs in-jit
+    # JPEG decode-time downscale (libjpeg M/8 IDCT scaling) in the native
+    # ingest tier — ~2x faster JPEG ingest on downscale-heavy streams.
+    # Pixels differ slightly from full-decode+bilinear (DCT-domain
+    # downsample); set False for exact cv2-parity semantics. PNG unaffected.
+    fast_jpeg: bool = True
     # Two-stage blocked candidate selection (ops/decode.py::topk_scores).
     # 0 (exact top_k) is the default: validation on trained-model score
     # distributions (scripts/validate_blocked_topk.py) measured up to 68
@@ -184,6 +189,7 @@ class Predictor:
                 paths, S, channels=ch, letterbox=self.cfg.letterbox,
                 threads=self.cfg.host_threads,
                 dtype="uint8" if self.cfg.u8_transfer else "float32",
+                fast_jpeg=self.cfg.fast_jpeg,
             )
             if (status != 0).any():
                 bad = [p for p, s in zip(paths, status) if s != 0]
