@@ -31,6 +31,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", default="s")
     ap.add_argument("--model", default="yolo11", choices=["yolo11", "yolox"])
+    ap.add_argument("--cfg", default=None,
+                    help="YOLO11 config yaml (default: crater ch=1 nc=5; "
+                         "pass yolo11_coco.yaml with --ch 3 --nc 80 for the "
+                         "north-star COCO shape)")
+    ap.add_argument("--ch", type=int, default=None)
+    ap.add_argument("--nc", type=int, default=None)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--imgsz", type=int, default=640)
     ap.add_argument("--nscan", type=int, default=4)
@@ -54,11 +60,11 @@ def main():
             )
         model = YOLOXModel.from_scale(yx_scale, nc=nc)
     else:
-        ch, nc = 1, 5
-        model = build_yolo11(
-            str(Path(__file__).parent.parent / "yolo_scratch_tpu/configs/yolo11_crater.yaml"),
-            ch=ch, nc=nc, scale=args.scale,
-        )
+        cfg = args.cfg or str(
+            Path(__file__).parent.parent / "yolo_scratch_tpu/configs/yolo11_crater.yaml")
+        ch = args.ch if args.ch is not None else (3 if "coco" in Path(cfg).name else 1)
+        nc = args.nc if args.nc is not None else (80 if "coco" in Path(cfg).name else 5)
+        model = build_yolo11(cfg, ch=ch, nc=nc, scale=args.scale)
     variables = model.init(jax.random.PRNGKey(0), np.zeros((1, img, img, ch), np.float32))
     variables = fuse_conv_bn(variables)
     variables = {

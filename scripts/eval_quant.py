@@ -120,19 +120,30 @@ def main(argv=None):
     for name, v in variants.items():
         loader = Loader(ds, args.batch, indices=val_idx, prefetch=2)
         all_preds, all_targets = [], []
+        # the two variants' trees differ structurally (int8 mounts a
+        # "quant" collection), so each variant's FIRST batch pays its own
+        # jit compile — report it separately from the warm rate so a
+        # compile-time difference can't masquerade as a throughput one
+        # (round-3 QUANT_AB.json's unexplained 94.7s vs 13.0s)
         t0 = time.time()
+        first_batch_s = None
         for i, batch in enumerate(loader):
             if args.max_batches is not None and i >= args.max_batches:
                 break
             boxes, scores, labels, valid = infer(v, batch["img"])
             sv = np.asarray(batch["sample_valid"])
             preds = detections_to_lists(boxes, scores, labels, valid)
+            if first_batch_s is None:  # detections_to_lists synced the fetch
+                first_batch_s = time.time() - t0
             targets = targets_to_lists(
                 batch["gt_labels"], batch["gt_bboxes"], batch["gt_mask"])
             all_preds.extend(pr for pr, ok in zip(preds, sv) if ok)
             all_targets.extend(t for t, ok in zip(targets, sv) if ok)
+        total_s = time.time() - t0
         m = evaluate_detections(all_preds, all_targets, conf_threshold=args.conf)
-        m["eval_s"] = round(time.time() - t0, 1)
+        m["eval_s"] = round(total_s, 1)
+        m["first_batch_s"] = round(first_batch_s or 0.0, 1)
+        m["warm_eval_s"] = round(total_s - (first_batch_s or 0.0), 1)
         m["images"] = len(all_preds)
         results[name] = m
         print(f"{name}: {json.dumps(m)}", file=sys.stderr)

@@ -32,8 +32,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--imgsz", type=int, default=640)
+    ap.add_argument("--scale", type=str, default="n")
     ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--remat", action="store_true",
+                    help="activation recompute (jax.checkpoint) in backward")
+    ap.add_argument("--grad-accum", type=int, default=1)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--scan", type=int, default=0, metavar="K",
+                    help="also time K train steps inside ONE jitted "
+                         "lax.scan launch — the honest per-step wall time "
+                         "under the tunnel (no per-step RPC overhead)")
+    ap.add_argument("--no-trace", action="store_true")
     args = ap.parse_args()
 
     from yolo_scratch_tpu.losses.v8_loss import DetectionLossConfig
@@ -46,7 +55,7 @@ def main():
     B = args.batch
     model = build_yolo11(
         str(Path(__file__).parent.parent / "yolo_scratch_tpu/configs/yolo11_crater.yaml"),
-        ch=ch, nc=nc, scale="n",
+        ch=ch, nc=nc, scale=args.scale,
     )
     tx = make_optimizer(1e-3)
     state = create_train_state(
@@ -54,10 +63,12 @@ def main():
         tx, use_ema=True,
     )
     cfg = DetectionLossConfig(nc=nc, strides=model.strides)
-    step = jax.jit(build_train_step_custom(
+    raw_step = build_train_step_custom(
         model, v8_loss_adapter(cfg),
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
-    ))
+        remat=args.remat, grad_accum=args.grad_accum,
+    )
+    step = jax.jit(raw_step)
 
     rng = np.random.RandomState(0)
     nb = 3
@@ -92,14 +103,42 @@ def main():
         s, _ = step(s, batch)
     sync(s)
     dt = (time.perf_counter() - t0) / args.iters
-    print(f"train step: {dt * 1e3:.1f} ms  ({B / dt:.1f} img/s)", flush=True)
+    print(f"train step: {dt * 1e3:.1f} ms  ({B / dt:.1f} img/s)  "
+          "[tunnel-artifacted; see --scan]", flush=True)
 
-    print("tracing...", flush=True)
-    with jax.profiler.trace("/tmp/yst_trace_train"):
-        for _ in range(args.iters):
-            s, _ = step(s, batch)
-        sync(s)
-    print("trace written to /tmp/yst_trace_train", flush=True)
+    if args.scan > 0:
+        K = args.scan
+        # same batch every step — timing is shape-driven, not data-driven
+
+        @jax.jit
+        def steps(st, b):
+            # b as an ARGUMENT: a captured B@640 image tensor becomes a
+            # compile-payload constant and blows the tunnel's
+            # remote_compile size limit (CLAUDE.md environment gotchas)
+            def body(st, _):
+                st, m = raw_step(st, b)
+                return st, m["loss"]
+
+            return jax.lax.scan(body, st, None, length=K)
+
+        s3, losses = steps(s2, batch)
+        sync(s3)  # compile + warm
+        t0 = time.perf_counter()
+        s3, losses = steps(s3, batch)
+        sync(s3)
+        np.asarray(losses)
+        dt = (time.perf_counter() - t0) / K
+        eff_b = B * max(args.grad_accum, 1)
+        print(f"train step (in-jit scan x{K}): {dt * 1e3:.1f} ms  "
+              f"({eff_b / dt:.1f} img/s)", flush=True)
+
+    if not args.no_trace:
+        print("tracing...", flush=True)
+        with jax.profiler.trace("/tmp/yst_trace_train"):
+            for _ in range(args.iters):
+                s, _ = step(s, batch)
+            sync(s)
+        print("trace written to /tmp/yst_trace_train", flush=True)
 
 
 if __name__ == "__main__":
