@@ -25,10 +25,13 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import sys
 import threading
 import time
 import urllib.request
 from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
