@@ -54,6 +54,8 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--scale", type=str, default="n")
     ap.add_argument("--ckpt", type=str, default=None)
+    ap.add_argument("--inflight", type=int, default=None,
+                    help="pipeline depth override (PredictorConfig.inflight)")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args(argv)
 
@@ -77,9 +79,11 @@ def main(argv=None):
         for fmt in ("png", "jpeg"):
             paths = make_images(Path(td), args.n, args.src, fmt)
             for fast in ((False, True) if fmt == "jpeg" else (False,)):
+                pc_kw = {} if args.inflight is None else {
+                    "inflight": args.inflight}
                 pred = Predictor(model, variables, PredictorConfig(
                     img_size=args.imgsz, batch_size=args.batch,
-                    conf_threshold=0.25, fast_jpeg=fast))
+                    conf_threshold=0.25, fast_jpeg=fast, **pc_kw))
                 # warmup: compile + pool spin-up
                 for _ in pred.predict_paths(paths[: args.batch]):
                     pass

@@ -105,3 +105,43 @@ def test_sharded_predictor_matches_single_device_yolox():
     np.testing.assert_allclose(got[1], ref[1], rtol=0, atol=1e-6)
     np.testing.assert_array_equal(got[2], ref[2])
     np.testing.assert_array_equal(got[3], ref[3])
+
+
+def test_packed_infer_matches_tuple_outputs():
+    """_infer_packed (the 1-fetch streaming/serving variant) must encode
+    exactly the 4-tuple program's outputs: [x1 y1 x2 y2 score label
+    valid] per detection row, losslessly (labels < 2^24 exact in f32)."""
+    model, variables, cfg = _predictor()
+    x = np.random.default_rng(7).integers(
+        0, 256, size=(8, IMGSZ, IMGSZ, 1), dtype=np.uint8)
+
+    pred = Predictor(model, variables, cfg)
+    boxes, scores, labels, valid = [
+        np.asarray(o) for o in pred._infer(pred.variables, x)]
+    packed = np.asarray(pred._infer_packed(pred.variables, x))
+
+    assert packed.shape == (8, cfg.max_det, 7)
+    assert packed.dtype == np.float32
+    np.testing.assert_allclose(packed[..., :4], boxes.astype(np.float32),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(packed[..., 4], scores.astype(np.float32),
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(packed[..., 5].astype(labels.dtype), labels)
+    np.testing.assert_array_equal(packed[..., 6] > 0.5, valid.astype(bool))
+
+
+def test_packed_infer_sharded_matches_single_device():
+    """shard_over must rewrap the packed variant too (serving scale-out
+    uses it for the single-fetch path)."""
+    model, variables, cfg = _predictor()
+    x = np.random.default_rng(11).integers(
+        0, 256, size=(8, IMGSZ, IMGSZ, 1), dtype=np.uint8)
+
+    single = Predictor(model, variables, cfg)
+    ref = np.asarray(single._infer_packed(single.variables, x))
+
+    mesh = make_mesh(8)
+    sharded = Predictor(model, variables, cfg).shard_over(mesh)
+    out = sharded._infer_packed(sharded.variables, x)
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=0, atol=1e-6)

@@ -51,6 +51,15 @@ class PredictorConfig:
     # (e.g. 32, ~0.76 ms faster at B=128) only after validating your own
     # workload's block occupancy with that script.
     blocked_topk: int = 0
+    # Streaming pipeline depth: how many batches predict_paths keeps in
+    # flight before blocking on the oldest result. 1 = the round-2
+    # behavior (overlap host prep of batch i with device compute of
+    # i-1). Deeper helps when the host<->device transport has high
+    # latency (the axon tunnel's ~0.5 s round trip at B=32 — see
+    # docs/PERF.md "disk -> detections"): with k batches in flight the
+    # per-batch round trip is paid once per k prepares instead of
+    # serializing with every one.
+    inflight: int = 3
     # NMS backend: "pallas" (the batched kernel, class-aware since
     # b3a219e; interpret mode on CPU) or "xla" (pure stable-HLO sweep —
     # required for cross-platform jax.export artifacts, see export.py).
@@ -135,6 +144,27 @@ class Predictor:
 
         self._infer = jax.jit(_infer)
 
+        # Packed variant for the streaming/serving paths: one (B, max_det,
+        # 7) f32 array [x1 y1 x2 y2 score label valid] instead of four
+        # separate outputs. Fetching a device array over the axon tunnel
+        # pays a full WAN round trip PER ARRAY — four blocking
+        # np.asarray() calls were ~4 RTTs per batch (docs/PERF.md); one
+        # packed fetch is one. Label indices are exact in f32 (< 2^24);
+        # scores upcast losslessly.
+        def _infer_packed(v, x):
+            boxes, scores, labels, valid = _infer(v, x)
+            return jnp.concatenate(
+                [
+                    boxes.astype(jnp.float32),
+                    scores.astype(jnp.float32)[..., None],
+                    labels.astype(jnp.float32)[..., None],
+                    valid.astype(jnp.float32)[..., None],
+                ],
+                axis=-1,
+            )
+
+        self._infer_packed = jax.jit(_infer_packed)
+
     # -- scale-out serving -------------------------------------------------
 
     def shard_over(self, mesh, axis: str = "dp"):
@@ -169,9 +199,14 @@ class Predictor:
                 f"batch_size {self.cfg.batch_size} not divisible by mesh size {n}")
         self.variables = replicate(self.variables, mesh)
         inner = self._infer
+        inner_packed = self._infer_packed
 
         self._infer = jax.jit(shard_map(
             lambda v, x: inner(v, x),
+            mesh=mesh, in_specs=(P(), P(axis)), out_specs=P(axis),
+        ))
+        self._infer_packed = jax.jit(shard_map(
+            lambda v, x: inner_packed(v, x),
             mesh=mesh, in_specs=(P(), P(axis)), out_specs=P(axis),
         ))
         return self
@@ -245,20 +280,28 @@ class Predictor:
     # -- public API --------------------------------------------------------
 
     def predict_paths(self, paths: Sequence[str]) -> Iterator[Dict]:
-        """Stream detections for a list of image paths."""
+        """Stream detections for a list of image paths.
+
+        Pipelined: host prep of batch i overlaps device compute AND the
+        device->host fetch of up to ``cfg.inflight`` earlier batches
+        (dispatch is async; only the drain of the oldest entry blocks).
+        Each batch fetches ONE packed array — see ``_infer_packed``.
+        """
         B = self.cfg.batch_size
-        pending: List[tuple] = []  # (paths_chunk, meta, device_out)
+        depth = max(1, self.cfg.inflight)
+        pending: List[tuple] = []  # (paths_chunk, meta, packed_device_out)
 
         def drain(entry):
             chunk, meta, out = entry
-            boxes, scores, labels, valid = [np.asarray(o) for o in out]
+            packed = np.asarray(out)  # one blocking fetch per batch
             for j, p in enumerate(chunk):
-                v = valid[j]
+                row = packed[j]
+                v = row[:, 6] > 0.5
                 yield {
                     "path": str(p),
-                    "boxes": self._unmap_boxes(boxes[j][v], meta[j]).tolist(),
-                    "scores": scores[j][v].tolist(),
-                    "labels": labels[j][v].tolist(),
+                    "boxes": self._unmap_boxes(row[v, :4], meta[j]).tolist(),
+                    "scores": row[v, 4].tolist(),
+                    "labels": row[v, 5].astype(np.int64).tolist(),
                 }
 
         for i in range(0, len(paths), B):
@@ -269,9 +312,9 @@ class Predictor:
             else:
                 chunk_padded = chunk
             imgs, meta = self._prepare(chunk_padded)
-            out = self._infer(self.variables, imgs)  # async dispatch
+            out = self._infer_packed(self.variables, imgs)  # async dispatch
             pending.append((chunk, meta, out))
-            if len(pending) > 1:  # keep one batch in flight
+            if len(pending) >= depth:
                 yield from drain(pending.pop(0))
         for entry in pending:
             yield from drain(entry)

@@ -171,17 +171,21 @@ class BatchingServer:
                         except Exception as row_err:  # noqa: BLE001
                             fut.set_exception(row_err)
                 try:
-                    out = pred._infer(pred.variables, imgs)
-                    boxes, scores, labels, valid = [np.asarray(o) for o in out]
+                    # packed single-array output: one device->host fetch
+                    # per batch instead of four (each blocking fetch over
+                    # the tunnel pays a full round trip; see infer.py)
+                    packed = np.asarray(
+                        pred._infer_packed(pred.variables, imgs))
                     for j, (_, fut) in enumerate(entries):
                         if fut.done():  # its row failed to decode
                             continue
-                        v = valid[j]
+                        row = packed[j]
+                        v = row[:, 6] > 0.5
                         fut.set_result({
                             "boxes": pred._unmap_boxes(
-                                boxes[j][v], meta[j]).tolist(),
-                            "scores": scores[j][v].tolist(),
-                            "labels": labels[j][v].tolist(),
+                                row[v, :4], meta[j]).tolist(),
+                            "scores": row[v, 4].tolist(),
+                            "labels": row[v, 5].astype(np.int64).tolist(),
                         })
                 except Exception as err:  # noqa: BLE001 — device failure
                     for _, fut in entries:

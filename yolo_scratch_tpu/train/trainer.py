@@ -20,6 +20,7 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 from yolo_scratch_tpu.losses.v8_loss import DetectionLossConfig
 from yolo_scratch_tpu.train.checkpoints import CheckpointManager
@@ -337,8 +338,15 @@ class Trainer:
             collected.append(metrics)
         out: Dict[str, float] = {}
         if collected:
-            keys = collected[0].keys()
-            out = {k: float(np.mean([np.asarray(m[k]) for m in collected])) for k in keys}
+            # one stacked fetch for the whole epoch: every np.asarray on a
+            # device scalar is a blocking host<->device round trip (over
+            # the axon tunnel a full WAN RTT), so per-step-per-key fetches
+            # were steps*keys round trips at epoch end
+            keys = list(collected[0].keys())
+            stacked = jnp.stack(
+                [jnp.stack([m[k] for m in collected]) for k in keys])
+            vals = np.asarray(stacked).mean(axis=1)
+            out = {k: float(v) for k, v in zip(keys, vals)}
         dt = time.perf_counter() - t0
         out["imgs_per_sec"] = images / dt if dt > 0 else 0.0
         out["epoch_time_s"] = dt
@@ -347,11 +355,19 @@ class Trainer:
     def validate(self) -> Dict[str, float]:
         if self.val_loader is None:
             return {}
-        loss_sums: Dict[str, float] = {}
         n = 0
         all_preds, all_targets = [], []        # host-matching path
         all_marks, all_scores, all_valid = [], [], []  # device-matching path
         n_gt = 0
+        # Single-process: DEFER every device->host fetch to one stacked
+        # transfer per kind after the loop — each blocking np.asarray is a
+        # full host<->device round trip (a WAN RTT over the axon tunnel),
+        # and the per-batch pattern paid ~(len(metrics)+3) of them per val
+        # batch. Val batches are fixed-shape (the loader wrap-pads), so
+        # device outputs stack cleanly. Multi-process keeps the per-batch
+        # collective allgather (symmetric schedule across hosts).
+        metric_accum = []  # device scalar dicts, fetched stacked at the end
+        deferred = []      # (device arrays..., sv, targets) per batch
         if self._multiprocess:
             # detections/marks come back dp-sharded across processes; gather
             # them to full global arrays on every host (DCN allgather)
@@ -366,8 +382,7 @@ class Trainer:
             placed = self._place(batch)
             out_step = self._eval_step(self.state, placed)
             metrics, (boxes, scores, labels, valid) = out_step[0], out_step[1]
-            for k, v in metrics.items():
-                loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
+            metric_accum.append(metrics)
             # score each val image exactly once: drop the loader's wrap-padding
             # duplicates on the final short batch (reference evaluates every
             # image once, train_yolo11_cuda.py:101-262)
@@ -380,22 +395,56 @@ class Trainer:
                 sv = np.asarray(batch.get("sample_valid", np.ones(B, bool)))
                 gt_mask_host = np.asarray(batch["gt_mask"])
             if self._match_thresholds is not None:
-                marks = fetch(out_step[2])
-                all_marks.append(marks[sv])
-                all_scores.append(fetch(scores)[sv])
-                all_valid.append(fetch(valid)[sv])
+                if self._multiprocess:
+                    marks = fetch(out_step[2])
+                    all_marks.append(marks[sv])
+                    all_scores.append(fetch(scores)[sv])
+                    all_valid.append(fetch(valid)[sv])
+                else:
+                    deferred.append((out_step[2], scores, valid, sv, None))
                 n_gt += int(gt_mask_host[sv].sum())
             else:
-                boxes, scores, labels, valid = (
-                    fetch(boxes), fetch(scores), fetch(labels), fetch(valid)
-                )
-                preds = detections_to_lists(boxes, scores, labels, valid)
                 targets = targets_to_lists(
                     batch["gt_labels"], batch["gt_bboxes"], batch["gt_mask"]
                 )
+                if self._multiprocess:
+                    boxes, scores, labels, valid = (
+                        fetch(boxes), fetch(scores), fetch(labels), fetch(valid)
+                    )
+                    preds = detections_to_lists(boxes, scores, labels, valid)
+                    all_preds.extend(p for p, ok in zip(preds, sv) if ok)
+                    all_targets.extend(t for t, ok in zip(targets, sv) if ok)
+                else:
+                    deferred.append((boxes, scores, labels, valid, sv, targets))
+            n += 1
+        if deferred and self._match_thresholds is not None:
+            # one stacked fetch per kind for the whole val set
+            marks_h = np.asarray(jnp.stack([d[0] for d in deferred]))
+            scores_h = np.asarray(jnp.stack([d[1] for d in deferred]))
+            valid_h = np.asarray(jnp.stack([d[2] for d in deferred]))
+            for i, d in enumerate(deferred):
+                sv = d[3]
+                all_marks.append(marks_h[i][sv])
+                all_scores.append(scores_h[i][sv])
+                all_valid.append(valid_h[i][sv])
+        elif deferred:
+            boxes_h = np.asarray(jnp.stack([d[0] for d in deferred]))
+            scores_h = np.asarray(jnp.stack([d[1] for d in deferred]))
+            labels_h = np.asarray(jnp.stack([d[2] for d in deferred]))
+            valid_h = np.asarray(jnp.stack([d[3] for d in deferred]))
+            for i, d in enumerate(deferred):
+                sv, targets = d[4], d[5]
+                preds = detections_to_lists(
+                    boxes_h[i], scores_h[i], labels_h[i], valid_h[i])
                 all_preds.extend(p for p, ok in zip(preds, sv) if ok)
                 all_targets.extend(t for t, ok in zip(targets, sv) if ok)
-            n += 1
+        loss_sums: Dict[str, float] = {}
+        if metric_accum:
+            keys = list(metric_accum[0].keys())
+            stacked = jnp.stack(
+                [jnp.stack([m[k] for m in metric_accum]) for k in keys])
+            vals = np.asarray(stacked).sum(axis=1)
+            loss_sums = {k: float(v) for k, v in zip(keys, vals)}
         out = {k: v / max(n, 1) for k, v in loss_sums.items()}
         if self._match_thresholds is not None:
             from yolo_scratch_tpu.utils.metrics import metrics_from_marks
