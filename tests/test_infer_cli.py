@@ -77,3 +77,39 @@ def test_infer_cli_serves_nc80_checkpoint(tmp_path):
         assert set(row) >= {"path", "boxes", "scores", "labels"}
         for lab in row["labels"]:
             assert 0 <= lab < 80
+
+
+def test_predict_paths_inflight_depth_equivalence(tmp_path):
+    """Streaming results must be independent of the pipeline depth:
+    cfg.inflight only changes WHEN the oldest batch is drained, never
+    what is yielded or in what order (incl. the padded tail batch)."""
+    import cv2
+
+    from yolo_scratch_tpu.infer import Predictor, PredictorConfig
+    from yolo_scratch_tpu.models.builder import build_yolo11
+
+    imgsz = 96
+    model = build_yolo11(CFG, ch=1, nc=5, scale="n")
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, imgsz, imgsz, 1), np.float32))
+
+    paths = []
+    for i in range(10):  # B=3 -> 3 full batches + 1-image padded tail
+        p = str(tmp_path / f"im{i}.png")
+        cv2.imwrite(p, (np.random.RandomState(i).rand(80, 96) * 255)
+                    .astype(np.uint8))
+        paths.append(p)
+
+    def run(depth):
+        cfg = PredictorConfig(img_size=imgsz, batch_size=3,
+                              conf_threshold=0.001, max_det=16,
+                              pre_nms_topk=64, inflight=depth)
+        return list(Predictor(model, variables, cfg).predict_paths(paths))
+
+    shallow, deep = run(1), run(4)
+    assert [r["path"] for r in shallow] == paths
+    assert [r["path"] for r in deep] == paths
+    for a, b in zip(shallow, deep):
+        np.testing.assert_allclose(a["boxes"], b["boxes"], rtol=0, atol=0)
+        np.testing.assert_allclose(a["scores"], b["scores"], rtol=0, atol=0)
+        assert a["labels"] == b["labels"]
