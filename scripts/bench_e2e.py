@@ -54,8 +54,10 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--scale", type=str, default="n")
     ap.add_argument("--ckpt", type=str, default=None)
-    ap.add_argument("--inflight", type=int, default=None,
-                    help="pipeline depth override (PredictorConfig.inflight)")
+    ap.add_argument("--inflight", type=str, default=None,
+                    help="pipeline depth override (PredictorConfig.inflight);"
+                         " comma list sweeps depths in one process so the"
+                         " TPU compile is paid once")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args(argv)
 
@@ -74,28 +76,32 @@ def main(argv=None):
             jax.random.PRNGKey(0),
             np.zeros((1, args.imgsz, args.imgsz, 1), np.float32))
 
+    depths = ([None] if args.inflight is None else
+              [int(s) for s in args.inflight.split(",")])
     rows = []
     with tempfile.TemporaryDirectory() as td:
         for fmt in ("png", "jpeg"):
             paths = make_images(Path(td), args.n, args.src, fmt)
             for fast in ((False, True) if fmt == "jpeg" else (False,)):
-                pc_kw = {} if args.inflight is None else {
-                    "inflight": args.inflight}
-                pred = Predictor(model, variables, PredictorConfig(
-                    img_size=args.imgsz, batch_size=args.batch,
-                    conf_threshold=0.25, fast_jpeg=fast, **pc_kw))
-                # warmup: compile + pool spin-up
-                for _ in pred.predict_paths(paths[: args.batch]):
-                    pass
-                t0 = time.perf_counter()
-                n_out = sum(1 for _ in pred.predict_paths(paths))
-                dt = time.perf_counter() - t0
-                assert n_out == args.n
-                row = {"fmt": fmt, "fast_jpeg": fast,
-                       "img_per_s": round(args.n / dt, 1),
-                       "wall_s": round(dt, 2)}
-                rows.append(row)
-                print(json.dumps(row))
+                for depth in depths:
+                    pc_kw = {} if depth is None else {"inflight": depth}
+                    pred = Predictor(model, variables, PredictorConfig(
+                        img_size=args.imgsz, batch_size=args.batch,
+                        conf_threshold=0.25, fast_jpeg=fast, **pc_kw))
+                    # warmup: compile + pool spin-up (in-process jit cache
+                    # makes sweep arms after the first nearly free)
+                    for _ in pred.predict_paths(paths[: args.batch]):
+                        pass
+                    t0 = time.perf_counter()
+                    n_out = sum(1 for _ in pred.predict_paths(paths))
+                    dt = time.perf_counter() - t0
+                    assert n_out == args.n
+                    row = {"fmt": fmt, "fast_jpeg": fast,
+                           "inflight": depth,
+                           "img_per_s": round(args.n / dt, 1),
+                           "wall_s": round(dt, 2)}
+                    rows.append(row)
+                    print(json.dumps(row))
 
     result = {"n": args.n, "src": args.src, "imgsz": args.imgsz,
               "batch": args.batch, "scale": args.scale,

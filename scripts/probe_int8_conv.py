@@ -38,6 +38,19 @@ SHAPES = [
     (20, 20, 256, 256, 3, 1),
 ]
 
+# m/l/x-scale hot shapes (widths 1.0/1.0/1.5, max_channels 512): these
+# convs are MXU-bound, not HBM-bound like the n/s set, so int8's 2x MXU
+# rate has something to accelerate — the QUANT.md gating question at the
+# scales where the answer could flip. (--wide)
+SHAPES_WIDE = [
+    (80, 80, 128, 128, 3, 1),    # m P3 bottleneck
+    (40, 40, 256, 256, 3, 1),    # m P4
+    (20, 20, 512, 512, 3, 1),    # m/l P5
+    (80, 80, 192, 192, 3, 1),    # x P3 (width 1.5)
+    (40, 40, 384, 384, 3, 1),    # x P4
+    (20, 20, 768, 768, 3, 1),    # x P5
+]
+
 
 def time_fn(fn, x, reps):
     """In-jit scan repeat; sync by fetching bytes (axon block_until_ready lies).
@@ -69,11 +82,13 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--reps", type=int, default=30)
+    p.add_argument("--wide", action="store_true",
+                   help="probe the m/l/x-scale (MXU-bound) shape set")
     args = p.parse_args()
 
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
     rows = []
-    for (H, W, ci, co, k, s) in SHAPES:
+    for (H, W, ci, co, k, s) in (SHAPES_WIDE if args.wide else SHAPES):
         B = args.batch
         rng = np.random.RandomState(0)
         x_bf = jnp.asarray(rng.randn(B, H, W, ci), jnp.bfloat16)
