@@ -116,3 +116,81 @@ def test_export_roundtrip_yolox(tmp_path):
     np.testing.assert_allclose(got[1], live[1], rtol=0, atol=1e-6)
     np.testing.assert_array_equal(got[2], live[2])
     np.testing.assert_array_equal(got[3], live[3])
+
+
+def _write_images(tmp_path, n, w=100, h=80):
+    import cv2
+
+    paths = []
+    for i in range(n):
+        p = str(tmp_path / f"im{i}.png")
+        cv2.imwrite(p, (np.random.RandomState(i).rand(h, w) * 255)
+                    .astype(np.uint8))
+        paths.append(p)
+    return paths
+
+
+def test_artifact_predictor_streams_like_live(tmp_path):
+    """ArtifactPredictor must run the whole streaming path (host prep ->
+    artifact program -> unmap) with results identical to the live
+    Predictor, deriving its geometry from the artifact specs alone."""
+    from yolo_scratch_tpu.export import ArtifactPredictor
+
+    pred = _tiny_predictor(nms_impl="xla")  # stable-HLO: portable artifact
+    path = str(tmp_path / "m.jaxexp")
+    save_artifact(export_predictor(pred), path)
+
+    art_pred = ArtifactPredictor(load_artifact(path))
+    assert art_pred.cfg.img_size == IMGSZ
+    assert art_pred.cfg.batch_size == pred.cfg.batch_size
+    assert art_pred.cfg.max_det == pred.cfg.max_det
+    assert art_pred.in_ch == 1 and art_pred.cfg.u8_transfer
+
+    paths = _write_images(tmp_path, 5)  # B=2 -> 2 full + padded tail
+    live = list(pred.predict_paths(paths))
+    via_artifact = list(art_pred.predict_paths(paths))
+    assert [r["path"] for r in via_artifact] == paths
+    for a, b in zip(live, via_artifact):
+        np.testing.assert_allclose(a["boxes"], b["boxes"], rtol=0, atol=1e-5)
+        np.testing.assert_allclose(a["scores"], b["scores"], rtol=0, atol=0)
+        assert a["labels"] == b["labels"]
+
+
+def test_serve_daemon_over_artifact(tmp_path):
+    """The daemon must serve a .jaxexp end-to-end over HTTP — no model
+    code — with detections in original-image pixel space."""
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from yolo_scratch_tpu.export import ArtifactPredictor
+    from yolo_scratch_tpu.serve import BatchingServer, make_http_server
+
+    pred = _tiny_predictor(nms_impl="xla")
+    path = str(tmp_path / "m.jaxexp")
+    save_artifact(export_predictor(pred), path)
+
+    batching = BatchingServer(ArtifactPredictor(load_artifact(path)),
+                              max_wait_ms=25.0)
+    httpd = make_http_server(batching, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        buf = io.BytesIO()
+        Image.fromarray(
+            (np.random.RandomState(3).rand(80, 100) * 255).astype(np.uint8),
+            mode="L").save(buf, format="PNG")
+        req = urllib.request.Request(
+            f"{url}/v1/detect", data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            body = json.loads(r.read())
+        assert set(body) == {"boxes", "scores", "labels"}
+        for x1, y1, x2, y2 in body["boxes"]:
+            assert 0 <= x1 <= x2 <= 100 and 0 <= y1 <= y2 <= 80
+    finally:
+        httpd.shutdown()
+        batching.close()

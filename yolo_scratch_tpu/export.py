@@ -88,6 +88,65 @@ def load_artifact(path: str):
         return jexport.deserialize(bytearray(f.read()))
 
 
+class ArtifactPredictor:
+    """The Predictor host surface over a deserialized serving artifact.
+
+    Duck-types exactly the slice of ``Predictor`` that the streaming path
+    (``predict_paths``) and the serving daemon's ``BatchingServer`` use —
+    ``cfg``, ``in_ch``, ``variables``, ``_prepare``, ``_unmap_boxes``,
+    ``_infer``, ``_infer_packed`` — so a saved ``.jaxexp`` can be served
+    with NO model/builder/checkpoint code in the process: host decode +
+    letterbox feed the artifact's compiled program directly.
+
+    Geometry (batch, image size, channels, input dtype, max_det) is read
+    off the artifact's input/output specs and overrides whatever the
+    passed config says; compute-side knobs (conf/iou thresholds, NMS
+    impl, bf16) were baked in at export time and are inert here. The
+    optional ``config`` carries only host-side behavior (letterbox
+    semantics, fast_jpeg, host_threads, pipeline depth).
+    """
+
+    _prepare = Predictor._prepare
+    _unmap_boxes = Predictor._unmap_boxes
+    predict_paths = Predictor.predict_paths
+
+    def __init__(self, exported, config: Optional[PredictorConfig] = None):
+        from dataclasses import replace
+
+        (aval,) = exported.in_avals
+        B, S, S2, ch = aval.shape
+        if S != S2:
+            raise ValueError(f"non-square artifact input: {aval.shape}")
+        self.cfg = replace(
+            config or PredictorConfig(),
+            img_size=int(S), batch_size=int(B),
+            u8_transfer=bool(aval.dtype == jnp.uint8),
+            max_det=int(exported.out_avals[0].shape[1]),
+        )
+        self.in_ch = int(ch)
+        self.variables = None  # weights are constants inside the artifact
+        call = exported.call
+
+        def _infer(v, x):
+            del v  # Predictor API shape; the artifact owns its weights
+            return call(x)
+
+        def _infer_packed(v, x):
+            boxes, scores, labels, valid = _infer(v, x)
+            return jnp.concatenate(
+                [
+                    boxes.astype(jnp.float32),
+                    scores.astype(jnp.float32)[..., None],
+                    labels.astype(jnp.float32)[..., None],
+                    valid.astype(jnp.float32)[..., None],
+                ],
+                axis=-1,
+            )
+
+        self._infer = jax.jit(_infer)
+        self._infer_packed = jax.jit(_infer_packed)
+
+
 def main(argv=None):
     import argparse
     from pathlib import Path

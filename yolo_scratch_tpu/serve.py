@@ -284,7 +284,39 @@ def main(argv=None):
                    help="serve int8 (nn/quant.py): calibrate activation "
                         "scales on the images under DIR, then quantize "
                         "every ConvBNAct to symmetric int8")
+    p.add_argument("--artifact", type=str, default=None, metavar="FILE",
+                   help="serve a saved AOT artifact (.jaxexp, see "
+                        "yst-export) instead of a checkpoint: no model/"
+                        "builder code runs; batch/image-size/channels/"
+                        "thresholds come from the artifact (--batch, "
+                        "--imgsz, --conf etc. are ignored)")
     args = p.parse_args(argv)
+
+    if args.artifact:
+        if args.ckpt or args.torch_ckpt or args.int8_calib_dir:
+            raise SystemExit(
+                "--artifact is exclusive with --ckpt/--torch-ckpt/"
+                "--int8-calib-dir: the artifact already carries its "
+                "weights (export int8 via yst-export --int8-calib-dir)")
+        from yolo_scratch_tpu.export import ArtifactPredictor, load_artifact
+
+        predictor = ArtifactPredictor(load_artifact(args.artifact))
+        batching = BatchingServer(predictor, max_wait_ms=args.max_wait_ms)
+        httpd = make_http_server(batching, host=args.host, port=args.port,
+                                 max_body_bytes=args.max_body_mb << 20)
+        print(f"serving artifact {args.artifact} on "
+              f"http://{args.host}:{httpd.server_address[1]} "
+              f"(batch {predictor.cfg.batch_size}, "
+              f"imgsz {predictor.cfg.img_size}, "
+              f"window {args.max_wait_ms} ms)")
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            httpd.shutdown()
+            batching.close()
+        return httpd
 
     model, variables = load_deploy_model(
         args.cfg, scale=args.scale, imgsz=args.imgsz, ckpt=args.ckpt,
