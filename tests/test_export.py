@@ -194,3 +194,65 @@ def test_serve_daemon_over_artifact(tmp_path):
     finally:
         httpd.shutdown()
         batching.close()
+
+
+def test_multi_model_daemon_routes_by_name(tmp_path):
+    """Two artifacts behind one daemon: /v1/detect/<name> routes to the
+    right model's own batching queue; /healthz reports per-model stats;
+    unknown names 404. (The serving-density case int8's 4x-smaller
+    weights buy — docs/QUANT.md.)"""
+    import io
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from PIL import Image
+
+    from yolo_scratch_tpu.export import ArtifactPredictor
+    from yolo_scratch_tpu.serve import BatchingServer, make_http_server
+
+    servers = {}
+    for name in ("alpha", "beta"):
+        pred = _tiny_predictor(nms_impl="xla")
+        path = str(tmp_path / f"{name}.jaxexp")
+        save_artifact(export_predictor(pred), path)
+        servers[name] = BatchingServer(
+            ArtifactPredictor(load_artifact(path)), max_wait_ms=10.0)
+
+    httpd = make_http_server(servers, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        buf = io.BytesIO()
+        Image.fromarray(
+            (np.random.RandomState(5).rand(80, 100) * 255).astype(np.uint8),
+            mode="L").save(buf, format="PNG")
+        png = buf.getvalue()
+
+        for route in ("/v1/detect/beta", "/v1/detect"):  # named + default
+            req = urllib.request.Request(f"{url}{route}", data=png,
+                                         method="POST")
+            with urllib.request.urlopen(req, timeout=300) as r:
+                assert set(json.loads(r.read())) == {
+                    "boxes", "scores", "labels"}
+
+        with urllib.request.urlopen(f"{url}/healthz", timeout=30) as r:
+            body = json.loads(r.read())
+        assert body["models"] == ["alpha", "beta"]
+        assert body["model"] == "alpha"  # default = first
+        assert body["stats"]["alpha"]["requests"] == 1  # the bare /v1/detect
+        assert body["stats"]["beta"]["requests"] == 1
+
+        req = urllib.request.Request(f"{url}/v1/detect/nope", data=png,
+                                     method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "unknown model must 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        httpd.shutdown()
+        for s in servers.values():
+            s.close()

@@ -169,7 +169,8 @@ def test_healthz_latency_and_fill_stats(served):
     with urllib.request.urlopen(req, timeout=300):
         pass
     with urllib.request.urlopen(f"{url}/healthz", timeout=30) as r:
-        stats = json.loads(r.read())["stats"]
+        body = json.loads(r.read())
+    stats = body["stats"][body["model"]]  # per-model since multi-model routing
     assert stats["requests"] >= 1 and stats["batches"] >= 1
     assert 0.0 < stats["batch_fill"] <= 1.0
     lat = stats["latency_ms"]

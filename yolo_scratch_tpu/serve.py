@@ -193,15 +193,29 @@ class BatchingServer:
                             fut.set_exception(err)
 
 
-def make_http_server(batching: BatchingServer, host: str = "127.0.0.1",
+def make_http_server(batching, host: str = "127.0.0.1",
                      port: int = 8008, model_name: str = "yolo11",
                      timeout_s: float = 60.0,
                      max_body_bytes: int = 32 << 20) -> ThreadingHTTPServer:
-    """Wrap a BatchingServer in a stdlib threaded HTTP server.
+    """Wrap one BatchingServer — or a ``{name: BatchingServer}`` dict for
+    multi-model serving — in a stdlib threaded HTTP server.
+
+    Routing: ``POST /v1/detect`` hits the first (default) model;
+    ``POST /v1/detect/<name>`` hits that model. Each model keeps its own
+    batching queue/worker, so requests only coalesce with same-model
+    neighbors; the models share the one device (the density case int8's
+    4x-smaller weights buy, docs/QUANT.md). ``GET /healthz`` reports
+    per-model stats.
 
     ``max_body_bytes`` caps the request body read (default 32 MiB — far
     above any real encoded image) so one oversized POST cannot OOM the
     daemon; violations get 413 and the connection is dropped unread."""
+
+    servers = (batching if isinstance(batching, dict)
+               else {model_name: batching})
+    if not servers:
+        raise ValueError("no models to serve")
+    default_name = next(iter(servers))
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet; stats live in /healthz
@@ -217,13 +231,25 @@ def make_http_server(batching: BatchingServer, host: str = "127.0.0.1",
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._json(200, {"ok": True, "model": model_name,
-                                 "stats": batching.snapshot()})
+                self._json(200, {
+                    "ok": True, "model": default_name,
+                    "models": sorted(servers),
+                    "stats": {n: s.snapshot() for n, s in servers.items()},
+                })
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
-            if self.path != "/v1/detect":
+            if self.path == "/v1/detect":
+                batching = servers[default_name]
+            elif self.path.startswith("/v1/detect/"):
+                name = self.path[len("/v1/detect/"):]
+                if name not in servers:
+                    self._json(404, {"error": f"unknown model {name!r}; "
+                                              f"have {sorted(servers)}"})
+                    return
+                batching = servers[name]
+            else:
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
             try:
@@ -284,12 +310,17 @@ def main(argv=None):
                    help="serve int8 (nn/quant.py): calibrate activation "
                         "scales on the images under DIR, then quantize "
                         "every ConvBNAct to symmetric int8")
-    p.add_argument("--artifact", type=str, default=None, metavar="FILE",
+    p.add_argument("--artifact", action="append", default=None,
+                   metavar="[NAME=]FILE",
                    help="serve a saved AOT artifact (.jaxexp, see "
                         "yst-export) instead of a checkpoint: no model/"
                         "builder code runs; batch/image-size/channels/"
                         "thresholds come from the artifact (--batch, "
-                        "--imgsz, --conf etc. are ignored)")
+                        "--imgsz, --conf etc. are ignored). Repeatable "
+                        "for multi-model serving — each model gets its "
+                        "own batching queue and routes at "
+                        "/v1/detect/NAME (the first is also the "
+                        "/v1/detect default)")
     args = p.parse_args(argv)
 
     if args.artifact:
@@ -300,22 +331,29 @@ def main(argv=None):
                 "weights (export int8 via yst-export --int8-calib-dir)")
         from yolo_scratch_tpu.export import ArtifactPredictor, load_artifact
 
-        predictor = ArtifactPredictor(load_artifact(args.artifact))
-        batching = BatchingServer(predictor, max_wait_ms=args.max_wait_ms)
-        httpd = make_http_server(batching, host=args.host, port=args.port,
+        servers = {}
+        for spec in args.artifact:
+            name, _, path = spec.rpartition("=")
+            name = name or Path(path).stem
+            if name in servers:
+                raise SystemExit(f"duplicate model name {name!r}")
+            pred = ArtifactPredictor(load_artifact(path))
+            servers[name] = BatchingServer(pred, max_wait_ms=args.max_wait_ms)
+            print(f"model {name!r}: {path} (batch {pred.cfg.batch_size}, "
+                  f"imgsz {pred.cfg.img_size}, ch {pred.in_ch})")
+        httpd = make_http_server(servers, host=args.host, port=args.port,
                                  max_body_bytes=args.max_body_mb << 20)
-        print(f"serving artifact {args.artifact} on "
+        print(f"serving {len(servers)} model(s) on "
               f"http://{args.host}:{httpd.server_address[1]} "
-              f"(batch {predictor.cfg.batch_size}, "
-              f"imgsz {predictor.cfg.img_size}, "
-              f"window {args.max_wait_ms} ms)")
+              f"(window {args.max_wait_ms} ms)")
         try:
             httpd.serve_forever()
         except KeyboardInterrupt:
             pass
         finally:
             httpd.shutdown()
-            batching.close()
+            for s in servers.values():
+                s.close()
         return httpd
 
     model, variables = load_deploy_model(
