@@ -254,6 +254,98 @@ def cmd_transplant(args):
     print(json.dumps(out, indent=2))
 
 
+def cmd_cross_eval(args):
+    """Score OUR trained detections through the REFERENCE's (corrected)
+    evaluator — the decomposition experiment for the strict-IoU offset.
+
+    The golden parity tests show our host matcher == the reference's
+    ``evaluate_detections`` to 1e-6 on identical inputs, so this run
+    discriminates between the two possible homes of the H2H640 evaluator
+    offset: if ``ref_eval(our detections)`` lands on our evaluator's
+    number, the AP stacks agree on real data too and the offset is a
+    *detection-set* difference (decode/NMS/conf on the reference's
+    weights); if it lands on the reference's higher number, our stack
+    under-scores real detection sets and the term is in the matcher/AP.
+
+    Pairing: detections come from the exact eval step ``validate()``
+    scores (same checkpoint, same conf), targets come from the reference
+    dataset iterated exactly as ``cmd_eval_ref`` does; per-image GT
+    counts are asserted equal as an ordering guard.
+    """
+    import torch
+
+    from yolo_scratch_tpu.train.checkpoints import CheckpointManager
+    from yolo_scratch_tpu.train.trainer import Trainer, TrainerConfig
+
+    model, _, val_loader = _build(args.data)
+    cfg = TrainerConfig(epochs=1, val_conf=0.25, use_ema=False)
+    trainer = Trainer(model, val_loader, val_loader, cfg, seed=SEED)
+    state, _, _, _ = CheckpointManager(str(TPU_RUN)).try_resume(
+        trainer.state, name=args.which)
+    trainer.state = state
+    ours = trainer.validate()  # sanity row: our evaluator, same weights
+
+    # Per-image detections from the SAME jitted eval step validate() uses
+    # (normalized xyxy, fixed max_det with validity mask).
+    preds, our_gt_counts = [], []
+    for batch in val_loader:
+        placed = trainer._place(batch)
+        out_step = trainer._eval_step(trainer.state, placed)
+        boxes, scores, labels, valid = (np.asarray(x) for x in out_step[1])
+        B = batch["img"].shape[0]
+        sv = np.asarray(batch.get("sample_valid", np.ones(B, bool))).astype(bool)
+        gt_mask = np.asarray(batch["gt_mask"]).astype(bool)
+        for b in range(B):
+            if not sv[b]:
+                continue  # loader wrap-padding duplicate
+            keep = valid[b].astype(bool) & (scores[b] >= 0.25)
+            preds.append({
+                "boxes": torch.from_numpy(boxes[b][keep].astype(np.float32)),
+                "scores": torch.from_numpy(scores[b][keep].astype(np.float32)),
+                "labels": torch.from_numpy(labels[b][keep].astype(np.int64)),
+            })
+            our_gt_counts.append(int(gt_mask[b].sum()))
+
+    # Targets via the reference dataset, iterated exactly as cmd_eval_ref.
+    sys.path.insert(0, "/root/reference/yolo_scratch_cuda")
+    from torch.utils.data import DataLoader, Subset
+
+    from datasets.crater_dataset_cuda import CraterDatasetCUDA, collate_fn_cuda
+    from utils.metrics import evaluate_detections as ref_eval
+
+    ds = CraterDatasetCUDA(args.data, img_size=IMGSZ, cache_images=False, augment=False)
+    n = len(ds)
+    n_val = int(n * VAL_SPLIT)
+    perm = torch.randperm(n, generator=torch.Generator().manual_seed(SEED)).tolist()
+    dl = DataLoader(Subset(ds, perm[n - n_val:]), batch_size=BATCH, shuffle=False,
+                    collate_fn=collate_fn_cuda)
+    targets = []
+    for batch in dl:
+        for b in range(batch["img"].shape[0]):
+            m = batch["batch_idx"] == b
+            targets.append({
+                "boxes": batch["bboxes"][m],
+                "labels": batch["cls"][m].flatten().long(),
+            })
+
+    assert len(preds) == len(targets) == n_val, (len(preds), len(targets), n_val)
+    ref_gt_counts = [len(t["boxes"]) for t in targets]
+    assert our_gt_counts == ref_gt_counts, "val image ordering mismatch"
+
+    ref_on_ours = {k: float(v) for k, v in
+                   ref_eval(preds, targets, conf_threshold=0.25, iou_threshold=0.5).items()}
+    out = {
+        "checkpoint": f"{TPU_RUN}/{args.which}",
+        "our_evaluator": {k: float(v) for k, v in ours.items()},
+        "reference_evaluator_on_our_detections": ref_on_ours,
+        "note": "same weights, same val images; detections from our jitted "
+                "eval step, scored by the reference's corrected torch "
+                "evaluate_detections",
+    }
+    (H2H_ROOT / "cross_eval.json").write_text(json.dumps(out, indent=2))
+    print(json.dumps(out, indent=2))
+
+
 def cmd_report(args):
     repo = Path(__file__).resolve().parent.parent
     # the reference never writes best.pt: its mAP-gated best policy never
@@ -312,10 +404,13 @@ def main():
     sub.add_parser("transplant")
     sub.add_parser("eval-ref")
     sub.add_parser("report")
+    p_x = sub.add_parser("cross-eval")
+    p_x.add_argument("--which", default="best", choices=["best", "last"])
     args = ap.parse_args()
     TPU_RUN.mkdir(parents=True, exist_ok=True)
     {"train-tpu": cmd_train_tpu, "transplant": cmd_transplant,
-     "eval-ref": cmd_eval_ref, "report": cmd_report}[args.cmd](args)
+     "eval-ref": cmd_eval_ref, "report": cmd_report,
+     "cross-eval": cmd_cross_eval}[args.cmd](args)
 
 
 if __name__ == "__main__":
