@@ -42,7 +42,7 @@ import os
 # (H2H_ROOT=/tmp/h2h640 H2H_IMGSZ=640 H2H_EPOCHS=30 ... -> H2H640.json):
 H2H_ROOT = Path(os.environ.get("H2H_ROOT", "/tmp/h2h"))
 DATA_DIR = H2H_ROOT / "data"
-REF_RUN = H2H_ROOT / "ref_run"
+REF_RUN = Path(os.environ.get("H2H_REF_RUN", str(H2H_ROOT / "ref_run")))
 TPU_RUN = H2H_ROOT / "tpu_run"
 
 EPOCHS = int(os.environ.get("H2H_EPOCHS", "60"))
@@ -346,6 +346,157 @@ def cmd_cross_eval(args):
     print(json.dumps(out, indent=2))
 
 
+def cmd_det_diff(args):
+    """Quantify the detection-set difference between the two prediction
+    pipelines on IDENTICAL weights — the term cross-eval names.
+
+    Runs the reference's corrected decode+NMS (torch) and our transplanted
+    forward + fused decode + NMS (TPU) on the same reference checkpoint and
+    the same val images, then greedily pairs the two detection sets per
+    image at IoU >= 0.5 and reports coordinate/score deltas and unmatched
+    counts. This bounds "prediction-pipeline numerics" with a measurement
+    instead of the golden tests' unit tolerances.
+    """
+    import torch
+    import yaml
+
+    import jax
+
+    from yolo_scratch_tpu.train.trainer import Trainer, TrainerConfig
+    from yolo_scratch_tpu.utils.torch_import import load_reference_checkpoint, merge_pretrained
+
+    ckpt_path = str(REF_RUN / ("best.pt" if (REF_RUN / "best.pt").exists() else "last.pt"))
+    print(f"diffing prediction pipelines on {ckpt_path}")
+
+    # --- reference detections (corrected decode, as in eval-ref) ---
+    sys.path.insert(0, "/root/reference/yolo_scratch_cuda")
+    from torch.utils.data import DataLoader, Subset
+
+    from datasets.crater_dataset_cuda import CraterDatasetCUDA, collate_fn_cuda
+    from models.yolo11_model import build_yolo11 as ref_build
+    from train_yolo11_cuda import decode_predictions_for_metrics
+
+    cfg = yaml.safe_load(open("/root/reference/yolo_scratch_cuda/configs/yolo11n_crater.yaml"))
+    cfg["scale"] = "n"
+    ref_model = ref_build(cfg=cfg, ch=1, nc=5)
+    ck = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    ref_model.load_state_dict(ck["model_state_dict"])
+    ref_model.eval()
+    dfl_conv = ref_model.model[-1].dfl.conv
+    c1 = dfl_conv.weight.shape[1]
+    dfl_conv.weight.data[:] = torch.arange(c1, dtype=torch.float).view(1, c1, 1, 1)
+
+    ds = CraterDatasetCUDA(args.data, img_size=IMGSZ, cache_images=False, augment=False)
+    n = len(ds)
+    n_val = int(n * VAL_SPLIT)
+    perm = torch.randperm(n, generator=torch.Generator().manual_seed(SEED)).tolist()
+    dl = DataLoader(Subset(ds, perm[n - n_val:]), batch_size=BATCH, shuffle=False,
+                    collate_fn=collate_fn_cuda)
+    ref_dets = []
+    with torch.no_grad():
+        for batch in dl:
+            dec = ref_model(batch["img"])[0]
+            ref_dets.extend(decode_predictions_for_metrics(
+                dec.transpose(1, 2), batch["img"].shape[-1], 0.25, 0.45, "cpu"))
+
+    # --- our detections on the transplanted weights ---
+    model, _, val_loader = _build(args.data)
+    params, batch_stats = load_reference_checkpoint(ckpt_path)
+    tcfg = TrainerConfig(epochs=1, val_conf=0.25, use_ema=False)
+    trainer = Trainer(model, val_loader, val_loader, tcfg, seed=SEED)
+    merged_p, skip_p = merge_pretrained(trainer.state.params, params)
+    merged_b, skip_b = merge_pretrained(trainer.state.batch_stats, batch_stats)
+    if skip_p or skip_b:
+        raise RuntimeError(f"transplant skipped keys: {skip_p + skip_b}")
+    trainer.state = trainer.state.replace(
+        params=jax.tree_util.tree_map(np.asarray, merged_p),
+        batch_stats=jax.tree_util.tree_map(np.asarray, merged_b),
+    )
+    our_dets = []
+    for batch in val_loader:
+        placed = trainer._place(batch)
+        out_step = trainer._eval_step(trainer.state, placed)
+        boxes, scores, labels, valid = (np.asarray(x) for x in out_step[1])
+        B = batch["img"].shape[0]
+        sv = np.asarray(batch.get("sample_valid", np.ones(B, bool))).astype(bool)
+        for b in range(B):
+            if not sv[b]:
+                continue
+            keep = valid[b].astype(bool) & (scores[b] >= 0.25)
+            our_dets.append({
+                "boxes": boxes[b][keep].astype(np.float64),
+                "scores": scores[b][keep].astype(np.float64),
+                "labels": labels[b][keep].astype(np.int64),
+            })
+    assert len(ref_dets) == len(our_dets) == n_val, (len(ref_dets), len(our_dets), n_val)
+
+    # --- greedy pairing per image at IoU >= 0.5 (ref score order) ---
+    def iou_mat(a, b):  # (N,4),(M,4) normalized xyxy -> (N,M)
+        if len(a) == 0 or len(b) == 0:
+            return np.zeros((len(a), len(b)))
+        lt = np.maximum(a[:, None, :2], b[None, :, :2])
+        rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+        wh = np.clip(rb - lt, 0, None)
+        inter = wh[..., 0] * wh[..., 1]
+        area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+        area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        return inter / (area_a[:, None] + area_b[None, :] - inter + 1e-12)
+
+    n_ref_tot = n_ours_tot = n_matched = n_label_mismatch = 0
+    coord_px, score_abs, match_iou = [], [], []
+    only_ref, only_ours = 0, 0
+    for rd, od in zip(ref_dets, our_dets):
+        rb = rd["boxes"].numpy().astype(np.float64)
+        rs = rd["scores"].numpy().astype(np.float64)
+        rl = rd["labels"].numpy()
+        ob, os_, ol = od["boxes"], od["scores"], od["labels"]
+        n_ref_tot += len(rb); n_ours_tot += len(ob)
+        M = iou_mat(rb, ob)
+        used = np.zeros(len(ob), bool)
+        m_img = 0
+        for i in np.argsort(-rs):
+            if M.shape[1] == 0:
+                break
+            j = int(np.argmax(np.where(used, -1.0, M[i])))
+            if not used[j] and M[i, j] >= 0.5:
+                used[j] = True
+                m_img += 1
+                match_iou.append(float(M[i, j]))
+                coord_px.append(float(np.max(np.abs(rb[i] - ob[j])) * IMGSZ))
+                score_abs.append(float(abs(rs[i] - os_[j])))
+                if int(rl[i]) != int(ol[j]):
+                    n_label_mismatch += 1
+        n_matched += m_img
+        only_ref += len(rb) - m_img
+        only_ours += len(ob) - m_img
+    coord_px = np.array(coord_px) if coord_px else np.zeros(1)
+    score_abs = np.array(score_abs) if score_abs else np.zeros(1)
+    match_iou = np.array(match_iou) if match_iou else np.ones(1)
+    out = {
+        "checkpoint": ckpt_path,
+        "images": n_val,
+        "detections": {"reference": n_ref_tot, "ours": n_ours_tot,
+                       "matched_iou50": n_matched,
+                       "only_reference": only_ref, "only_ours": only_ours,
+                       "label_mismatch_on_matched": n_label_mismatch},
+        "matched_pair_deltas": {
+            "coord_Linf_px": {"mean": float(coord_px.mean()),
+                              "p99": float(np.percentile(coord_px, 99)),
+                              "max": float(coord_px.max())},
+            "score_abs": {"mean": float(score_abs.mean()),
+                          "max": float(score_abs.max())},
+            "pair_iou": {"mean": float(match_iou.mean()),
+                         "min": float(match_iou.min())},
+        },
+        "note": "same reference checkpoint through both prediction pipelines "
+                "(torch corrected decode+NMS vs our transplanted forward + "
+                "fused decode + NMS); greedy IoU>=0.5 pairing in ref score "
+                "order; coord delta is Linf over the 4 xyxy coords in pixels",
+    }
+    (H2H_ROOT / "det_diff.json").write_text(json.dumps(out, indent=2))
+    print(json.dumps(out, indent=2))
+
+
 def cmd_report(args):
     repo = Path(__file__).resolve().parent.parent
     # the reference never writes best.pt: its mAP-gated best policy never
@@ -406,11 +557,12 @@ def main():
     sub.add_parser("report")
     p_x = sub.add_parser("cross-eval")
     p_x.add_argument("--which", default="best", choices=["best", "last"])
+    sub.add_parser("det-diff")
     args = ap.parse_args()
     TPU_RUN.mkdir(parents=True, exist_ok=True)
     {"train-tpu": cmd_train_tpu, "transplant": cmd_transplant,
      "eval-ref": cmd_eval_ref, "report": cmd_report,
-     "cross-eval": cmd_cross_eval}[args.cmd](args)
+     "cross-eval": cmd_cross_eval, "det-diff": cmd_det_diff}[args.cmd](args)
 
 
 if __name__ == "__main__":
