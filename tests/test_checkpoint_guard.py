@@ -96,6 +96,24 @@ def test_resume_opt_drift_salvages(tmp_path):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+def test_resume_unsalvageable_surfaces_original_error(tmp_path):
+    """Restore fails AND no raw tree is salvageable (npz fallback has no
+    tree structure to peek): try_resume must re-raise the ORIGINAL restore
+    failure. A bare ``raise`` at that point sits outside the except block
+    and throws ``RuntimeError: No active exception to reraise``, burying
+    the real cause — the bug that broke the multihost resume test."""
+    from yolo_scratch_tpu.train.checkpoints import CheckpointManager
+
+    state = _make_state()
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), use_orbax=False)
+    mgr.save_epoch(state, 0, {}, {"mAP50": 0.5}, float("inf"), 0.0)
+    # meta says a checkpoint exists, but the array payload is gone: the
+    # np.load failure is the error the user needs to see
+    (tmp_path / "ckpt" / "last.npz").unlink()
+    with pytest.raises(FileNotFoundError):
+        mgr.try_resume(_make_state(), name="last")
+
+
 def test_load_deploy_model_forced_mismatch_raises(tmp_path):
     """Deploy auto-detect serves the checkpoint directly; forcing a wrong
     --nc must fail with the mismatch named, before any compile."""

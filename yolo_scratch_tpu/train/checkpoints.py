@@ -232,7 +232,10 @@ class CheckpointManager:
             # must surface here, not as an opaque flax error later.
             raw = self.peek_raw(name)
             if raw is None:
-                raise
+                # not salvageable: surface the original restore failure
+                # (a bare ``raise`` here is outside the except block and
+                # would itself raise "No active exception to reraise")
+                raise restore_err
             for key in ("params", "batch_stats"):
                 mismatch = _tree_mismatch(raw.get(key), target[key])
                 if mismatch:

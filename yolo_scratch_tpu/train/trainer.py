@@ -286,6 +286,17 @@ class Trainer:
     def resume(self) -> bool:
         if self.ckpt is None:
             return False
+        if self._multiprocess:
+            # orbax restore is collective (sync_global_processes) and its
+            # first sync creates a NEW gloo communicator with a ~30 s join
+            # window. Processes can be minutes apart here (startup compile
+            # skew under host contention), so realign them first on the
+            # communicator that barrier() already established at
+            # initialize() time — same failure mode barrier()'s docstring
+            # describes for the first train step.
+            from yolo_scratch_tpu.parallel import distributed as D
+
+            D.barrier(self.mesh)
         state, self.start_epoch, self.best_loss, self.best_map50 = self.ckpt.try_resume(
             self.state
         )
