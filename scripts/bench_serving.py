@@ -62,7 +62,10 @@ def run_cell(predictor, blobs, n_clients: int, wait_ms: float,
     from yolo_scratch_tpu.serve import BatchingServer, make_http_server
 
     batching = BatchingServer(predictor, max_wait_ms=wait_ms)
-    httpd = make_http_server(batching, port=0)
+    # server-side future timeout must cover a cold jit compile (~5-10 min
+    # over the TPU tunnel) or the warmup request 503s and kills the sweep;
+    # the warmup client below waits 1200 s for the same reason
+    httpd = make_http_server(batching, port=0, timeout_s=1200.0)
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     url = f"http://127.0.0.1:{httpd.server_address[1]}"
 

@@ -128,9 +128,11 @@ def main():
         sync(s3)
         np.asarray(losses)
         dt = (time.perf_counter() - t0) / K
-        eff_b = B * max(args.grad_accum, 1)
+        # images consumed per step is B regardless of grad_accum:
+        # build_train_step_custom SPLITS the given batch into k
+        # microbatches (train/steps.py), it does not multiply it
         print(f"train step (in-jit scan x{K}): {dt * 1e3:.1f} ms  "
-              f"({eff_b / dt:.1f} img/s)", flush=True)
+              f"({B / dt:.1f} img/s)", flush=True)
 
     if not args.no_trace:
         print("tracing...", flush=True)

@@ -156,6 +156,62 @@ def test_artifact_predictor_streams_like_live(tmp_path):
         assert a["labels"] == b["labels"]
 
 
+def test_artifact_host_prep_sidecar_roundtrip(tmp_path):
+    """The .meta.json sidecar written at export must drive the serving-side
+    host prep: a stretch-exported artifact served via the sidecar must NOT
+    letterbox (the silent-mismatch bug: --artifact used to hardcode the
+    default letterbox prep regardless of how the program was exported)."""
+    from yolo_scratch_tpu.export import ArtifactPredictor, load_host_prep
+
+    model = build_yolo11(CFG, ch=1, nc=5, scale="n")
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, IMGSZ, IMGSZ, 1), np.float32))
+    cfg = PredictorConfig(
+        img_size=IMGSZ, batch_size=2, conf_threshold=0.001, max_det=32,
+        pre_nms_topk=128, nms_impl="xla", letterbox=False,  # stretch prep
+    )
+    pred = Predictor(model, variables, cfg)
+    path = str(tmp_path / "m.jaxexp")
+    save_artifact(export_predictor(pred), path,
+                  host_prep={"letterbox": cfg.letterbox,
+                             "fast_jpeg": cfg.fast_jpeg})
+
+    prep = load_host_prep(path)
+    assert prep == {"letterbox": False, "fast_jpeg": cfg.fast_jpeg}
+    art_pred = ArtifactPredictor(load_artifact(path), host_prep=prep)
+    assert art_pred.cfg.letterbox is False
+
+    # non-square source images make stretch vs letterbox observable
+    paths = _write_images(tmp_path, 3, w=96, h=192)
+    live = list(pred.predict_paths(paths))
+    via = list(art_pred.predict_paths(paths))
+    for a, b in zip(live, via):
+        np.testing.assert_allclose(a["boxes"], b["boxes"], rtol=0, atol=1e-5)
+        np.testing.assert_allclose(a["scores"], b["scores"], rtol=0, atol=0)
+
+    # no sidecar -> None (old artifacts keep working, defaults assumed)
+    path2 = str(tmp_path / "bare.jaxexp")
+    save_artifact(export_predictor(pred), path2)
+    assert load_host_prep(path2) is None
+
+
+def test_serve_artifact_spec_parsing():
+    """NAME=PATH splitting must not eat '=' inside the path itself."""
+    from pathlib import Path
+
+    def parse(spec):  # mirrors serve.py's --artifact loop
+        name, sep, path = spec.partition("=")
+        if not sep or "/" in name or "\\" in name:
+            name, path = "", spec
+        return name or Path(path).stem, path
+
+    assert parse("det=models/a.jaxexp") == ("det", "models/a.jaxexp")
+    assert parse("models/a.jaxexp") == ("a", "models/a.jaxexp")
+    # '=' inside a sweep-style directory name is part of the PATH
+    assert parse("runs/lr=0.01/m.jaxexp") == ("m", "runs/lr=0.01/m.jaxexp")
+    assert parse("det=runs/lr=0.01/m.jaxexp") == ("det", "runs/lr=0.01/m.jaxexp")
+
+
 def test_serve_daemon_over_artifact(tmp_path):
     """The daemon must serve a .jaxexp end-to-end over HTTP — no model
     code — with detections in original-image pixel space."""

@@ -121,3 +121,55 @@ def test_early_stopping_survives_resume(tmp_path):
     assert t2.start_epoch == 6
     assert t2.since_improve == 2 and t2.patience_best == 0.6
     assert len(r2["history"]) == 1  # only epoch index 6 ran
+
+
+def test_early_stopping_resets_on_fresh_fit(tmp_path):
+    """A reused Trainer must not carry a stale plateau clock into
+    fit(resume=False): the counters are instance state (so resume can
+    persist them) but re-initialize at the top of every fit — previously
+    a second fresh run on the same object inherited since_improve >=
+    patience and broke after its very first epoch."""
+    import dataclasses
+
+    trainer = _make_trainer(tmp_path, epochs=4)
+    trainer.cfg = dataclasses.replace(trainer.cfg, patience=2)
+
+    def scripted(values):
+        calls = iter(values)
+        trainer.validate = lambda: {"loss": 1.0, "mAP50": next(calls),
+                                    "mAP50-95": 0.0, "precision": 0,
+                                    "recall": 0}
+
+    scripted([0.6, 0.5, 0.4, 0.3])
+    r1 = trainer.fit(resume=False)
+    assert len(r1["history"]) == 3  # peak at 0, two declines -> stop
+    assert trainer.since_improve >= 2
+
+    scripted([0.1, 0.2, 0.3, 0.4])  # improving: must run the full budget
+    r2 = trainer.fit(resume=False)
+    assert len(r2["history"]) == 4
+
+
+def test_checkpoint_meta_is_strict_json(tmp_path):
+    """best_loss stays inf on mAP-gated runs and patience_best is -inf
+    before any val fitness: both must land as null in the meta json —
+    json.dumps would emit `Infinity`, which strict parsers (jq,
+    JSON.parse) reject. The resume path maps null back to the sentinels."""
+    import dataclasses
+
+    trainer = _make_trainer(tmp_path, epochs=1)
+    trainer.cfg = dataclasses.replace(trainer.cfg, patience=2)
+    trainer.validate = lambda: {}  # no val metrics at all
+    trainer.fit(resume=False)
+
+    raw = (tmp_path / "run" / "last.meta.json").read_text()
+    assert "Infinity" not in raw and "NaN" not in raw
+    meta = json.loads(raw)
+    assert meta["best_loss"] is None
+    assert meta["patience"] == {"since_improve": 0, "best": None}
+
+    t2 = _make_trainer(tmp_path, epochs=2)
+    t2.cfg = dataclasses.replace(t2.cfg, patience=2)
+    assert t2.resume()
+    assert t2.best_loss == float("inf")
+    assert t2.patience_best == -float("inf")

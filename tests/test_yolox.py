@@ -150,6 +150,50 @@ def test_yolox_s_init_logits_bounded():
     assert float(jnp.abs(flat[..., 5:]).max()) < 12.0
 
 
+def test_yolox_wh_cap_nan_safe_and_gradient_preserving():
+    """The straight-through wh cap (losses/simota.py) must (a) keep the
+    forward value EXACTLY the capped one for any input — the naive STE
+    ``l - stop_grad(l - clip(l))`` gives inf-inf=NaN on an inf logit and
+    cancels a huge finite logit to 0 — and (b) still pass gradient to
+    out-of-band finite logits (the ADVICE round-3 item it implements)."""
+    from yolo_scratch_tpu.losses.simota import YOLOXLossConfig, yolox_loss
+
+    B, S, nc = 1, 8, 5
+    no = 5 + nc
+    cfg = YOLOXLossConfig(nc=nc, strides=(8.0,))
+    gl = np.zeros((B, 2), np.int32)
+    gb = np.zeros((B, 2, 4), np.float32)
+    gm = np.zeros((B, 2), bool)
+    # GT centered on cell (4,4) of the 8x8 map (center 36px / 64px img)
+    gb[0, 0] = [0.40, 0.40, 0.72, 0.72]
+    gm[0, 0] = True
+
+    def loss_of(out):
+        total, _ = yolox_loss([out], gl, gb, gm, cfg)
+        return total
+
+    base = np.zeros((B, S, S, no), np.float32)
+    base[..., 5:] = -4.0
+    div = base.copy()
+    # saturate the w logit on EVERY anchor so whichever one SimOTA assigns
+    # is saturated — a plain clip() would zero its restoring gradient
+    div[..., 2] = 1e9
+    div[0, 3, 3, 3] = np.inf  # and one h logit diverged all the way to inf
+    total, grads = jax.value_and_grad(loss_of)(jnp.asarray(div))
+    assert np.isfinite(float(total))
+    grads = np.asarray(grads)
+    assert np.all(np.isfinite(grads))
+    # forward must match the explicitly-capped input bit-for-bit
+    capped = div.copy()
+    capped[..., 2] = 20.0
+    capped[0, 3, 3, 3] = 20.0
+    np.testing.assert_allclose(
+        float(total), float(loss_of(jnp.asarray(capped))), rtol=1e-6)
+    # the assigned anchor's saturated w logit still receives gradient (the
+    # restoring IoU-loss signal the straight-through cap exists for)
+    assert float(np.abs(grads[..., 2]).max()) > 0.0
+
+
 def test_yolox_train_step_survives_divergent_wh_logits():
     """Defense-in-depth for the same failure: even with the reg branch
     forced to emit huge wh logits, the capped exp (WH_LOGIT_CAP) must keep

@@ -39,7 +39,12 @@ import jax
 import jax.numpy as jnp
 from jax import export as jexport
 
-from yolo_scratch_tpu.infer import Predictor, PredictorConfig, load_deploy_model
+from yolo_scratch_tpu.infer import (
+    Predictor,
+    PredictorConfig,
+    load_deploy_model,
+    pack_detections,
+)
 
 ARTIFACT_SUFFIX = ".jaxexp"
 
@@ -74,11 +79,29 @@ def export_predictor(predictor: Predictor, batch_size: Optional[int] = None):
     return jexport.export(serve, disabled_checks=disabled)(spec)
 
 
-def save_artifact(exported, path: str) -> int:
-    """Serialize an Exported to ``path``; returns the byte count."""
+def _sidecar_path(path: str) -> str:
+    return path + ".meta.json"
+
+
+def save_artifact(exported, path: str, host_prep: Optional[dict] = None) -> int:
+    """Serialize an Exported to ``path``; returns the byte count.
+
+    ``host_prep``: host-side preprocessing semantics the compiled program
+    was built against (letterbox vs stretch, fast_jpeg) — written as a
+    ``<path>.meta.json`` sidecar so a serving process that has only the
+    artifact (``yst-serve --artifact``) reproduces the SAME prep instead
+    of silently assuming defaults. The weights/thresholds inside the
+    artifact were calibrated against this prep; mismatching it degrades
+    detections with no error.
+    """
     blob = exported.serialize()
     with open(path, "wb") as f:
         f.write(blob)
+    if host_prep is not None:
+        import json
+
+        with open(_sidecar_path(path), "w") as f:
+            json.dump(host_prep, f, indent=2)
     return len(blob)
 
 
@@ -86,6 +109,22 @@ def load_artifact(path: str):
     """Deserialize a serving artifact; ``.call`` (jit-able) runs it."""
     with open(path, "rb") as f:
         return jexport.deserialize(bytearray(f.read()))
+
+
+def load_host_prep(path: str) -> Optional[dict]:
+    """Read the host-prep sidecar next to an artifact (see save_artifact).
+
+    Returns None for artifacts exported before the sidecar existed —
+    callers should then assume the PredictorConfig defaults and say so.
+    """
+    import json
+    import os
+
+    p = _sidecar_path(path)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
 
 
 class ArtifactPredictor:
@@ -110,15 +149,23 @@ class ArtifactPredictor:
     _unmap_boxes = Predictor._unmap_boxes
     predict_paths = Predictor.predict_paths
 
-    def __init__(self, exported, config: Optional[PredictorConfig] = None):
+    def __init__(self, exported, config: Optional[PredictorConfig] = None,
+                 host_prep: Optional[dict] = None):
         from dataclasses import replace
 
         (aval,) = exported.in_avals
         B, S, S2, ch = aval.shape
         if S != S2:
             raise ValueError(f"non-square artifact input: {aval.shape}")
+        base = config or PredictorConfig()
+        if host_prep:
+            # the sidecar written at export time wins over defaults: the
+            # program's weights/thresholds were calibrated against THAT prep
+            base = replace(base, **{k: host_prep[k]
+                                    for k in ("letterbox", "fast_jpeg")
+                                    if k in host_prep})
         self.cfg = replace(
-            config or PredictorConfig(),
+            base,
             img_size=int(S), batch_size=int(B),
             u8_transfer=bool(aval.dtype == jnp.uint8),
             max_det=int(exported.out_avals[0].shape[1]),
@@ -132,16 +179,7 @@ class ArtifactPredictor:
             return call(x)
 
         def _infer_packed(v, x):
-            boxes, scores, labels, valid = _infer(v, x)
-            return jnp.concatenate(
-                [
-                    boxes.astype(jnp.float32),
-                    scores.astype(jnp.float32)[..., None],
-                    labels.astype(jnp.float32)[..., None],
-                    valid.astype(jnp.float32)[..., None],
-                ],
-                axis=-1,
-            )
+            return pack_detections(*_infer(v, x))
 
         self._infer = jax.jit(_infer)
         self._infer_packed = jax.jit(_infer_packed)
@@ -166,6 +204,11 @@ def main(argv=None):
     p.add_argument("--nc", type=int, default=None)
     p.add_argument("--ch", type=int, default=None)
     p.add_argument("--class-aware", action="store_true")
+    p.add_argument("--stretch", action="store_true",
+                   help="export for stretch-resize host prep instead of "
+                        "letterbox (must match how the weights were "
+                        "trained/evaluated; recorded in the artifact's "
+                        ".meta.json sidecar and honored by yst-serve)")
     p.add_argument("--nms-impl", type=str, default="pallas", choices=["pallas", "xla"],
                    help="'xla' emits a pure stable-HLO artifact (no TPU custom calls)")
     p.add_argument("--out", type=str, required=True, help=f"artifact path ({ARTIFACT_SUFFIX})")
@@ -184,6 +227,7 @@ def main(argv=None):
         img_size=args.imgsz, batch_size=args.batch, conf_threshold=args.conf,
         iou_threshold=args.iou, max_det=args.max_det,
         class_aware_nms=args.class_aware, nms_impl=args.nms_impl,
+        letterbox=not args.stretch,
     )
     if args.int8_calib_dir:
         from pathlib import Path as _P
@@ -207,7 +251,17 @@ def main(argv=None):
               f"(calibrated on {len(paths)} images)")
     predictor = Predictor(model, variables, cfg)
     exported = export_predictor(predictor)
-    nbytes = save_artifact(exported, args.out)
+    # record host-prep semantics (+ the baked compute knobs, informational)
+    # so a pure-artifact server reproduces the same preprocessing
+    host_prep = {
+        "letterbox": cfg.letterbox,
+        "fast_jpeg": cfg.fast_jpeg,
+        "baked": {"conf_threshold": cfg.conf_threshold,
+                  "iou_threshold": cfg.iou_threshold,
+                  "class_aware_nms": cfg.class_aware_nms,
+                  "nms_impl": cfg.nms_impl},
+    }
+    nbytes = save_artifact(exported, args.out, host_prep=host_prep)
     print(f"wrote {args.out}: {nbytes / 1e6:.2f} MB, platforms={exported.platforms}, "
           f"in={exported.in_avals}, out={len(exported.out_avals)} arrays")
 

@@ -31,6 +31,15 @@ class PredictorConfig:
     conf_threshold: float = 0.25
     iou_threshold: float = 0.45
     max_det: int = 300
+    # Fixed-shape prefilter cap: the NMS sweep's length (and its latency)
+    # is this K. 512 is the measured throughput point for the headline
+    # bench — but it is a RECALL trade on dense scenes: trained weights
+    # @640 reach ~1.5k above-conf candidates on crowded val images, and a
+    # binding cap silently drops the lowest-scoring real detections
+    # (docs/H2H.md "the prefilter cap" — it cost 13/218 detections at
+    # K=1000). Raise toward 2048 when detections-per-image matters more
+    # than per-batch latency; the val path (TrainerConfig) defaults to
+    # 2048 for exactly this reason.
     pre_nms_topk: int = 512
     letterbox: bool = True
     bf16: bool = True
@@ -52,18 +61,37 @@ class PredictorConfig:
     # workload's block occupancy with that script.
     blocked_topk: int = 0
     # Streaming pipeline depth: how many batches predict_paths keeps in
-    # flight before blocking on the oldest result. 1 = the round-2
-    # behavior (overlap host prep of batch i with device compute of
-    # i-1). Deeper helps when the host<->device transport has high
-    # latency (the axon tunnel's ~0.5 s round trip at B=32 — see
-    # docs/PERF.md "disk -> detections"): with k batches in flight the
-    # per-batch round trip is paid once per k prepares instead of
-    # serializing with every one.
+    # flight before blocking on the oldest result. 1 = fully synchronous
+    # (each batch is fetched right after its own dispatch — no overlap);
+    # 2 = overlap host prep of batch i+1 with device compute of batch i
+    # (the round-2 behavior). Deeper helps when the host<->device
+    # transport has high latency (the axon tunnel's ~0.5 s round trip at
+    # B=32 — see docs/PERF.md "disk -> detections"): with k batches in
+    # flight the per-batch round trip is paid once per k prepares instead
+    # of serializing with every one.
     inflight: int = 3
     # NMS backend: "pallas" (the batched kernel, class-aware since
     # b3a219e; interpret mode on CPU) or "xla" (pure stable-HLO sweep —
     # required for cross-platform jax.export artifacts, see export.py).
     nms_impl: str = "pallas"
+
+
+def pack_detections(boxes, scores, labels, valid):
+    """(B, max_det, 7) f32 rows [x1 y1 x2 y2 score label valid] — THE
+    single-fetch packed layout. Every producer (Predictor._infer_packed,
+    export.ArtifactPredictor) and consumer (predict_paths drain,
+    BatchingServer._run) goes through this one definition so a layout
+    change can't desynchronize them. Label indices are exact in f32
+    (< 2^24); scores upcast losslessly."""
+    return jnp.concatenate(
+        [
+            boxes.astype(jnp.float32),
+            scores.astype(jnp.float32)[..., None],
+            labels.astype(jnp.float32)[..., None],
+            valid.astype(jnp.float32)[..., None],
+        ],
+        axis=-1,
+    )
 
 
 class Predictor:
@@ -149,19 +177,9 @@ class Predictor:
         # separate outputs. Fetching a device array over the axon tunnel
         # pays a full WAN round trip PER ARRAY — four blocking
         # np.asarray() calls were ~4 RTTs per batch (docs/PERF.md); one
-        # packed fetch is one. Label indices are exact in f32 (< 2^24);
-        # scores upcast losslessly.
+        # packed fetch is one. Layout lives in pack_detections above.
         def _infer_packed(v, x):
-            boxes, scores, labels, valid = _infer(v, x)
-            return jnp.concatenate(
-                [
-                    boxes.astype(jnp.float32),
-                    scores.astype(jnp.float32)[..., None],
-                    labels.astype(jnp.float32)[..., None],
-                    valid.astype(jnp.float32)[..., None],
-                ],
-                axis=-1,
-            )
+            return pack_detections(*_infer(v, x))
 
         self._infer_packed = jax.jit(_infer_packed)
 

@@ -156,9 +156,18 @@ def yolox_loss(
     # Straight-through cap: exp sees the clipped value (stays finite) but an
     # out-of-range logit still receives unit gradient, so a saturated logit
     # keeps a restoring IoU-loss gradient instead of waiting on weight decay.
+    # NaN-safe formulation: the naive STE ``l - stop_grad(l - clip(l))``
+    # breaks the finiteness invariant above — l=inf gives inf-inf=NaN, and
+    # a large finite l (>=~2.7e8 f32) cancels catastrophically to 0. Here
+    # the forward value is EXACTLY clip(l) for any input (the pass-through
+    # term is x - stop_grad(x) = 0 bit-exactly on finite x, and the where
+    # zeroes it for non-finite), while the gradient is 1 both inside the
+    # band (from clip) and outside it (from the pass-through).
     wh_logit = raw_reg[..., 2:4]
-    wh_logit = wh_logit - jax.lax.stop_gradient(
-        wh_logit - jnp.clip(wh_logit, -WH_LOGIT_CAP, WH_LOGIT_CAP))
+    capped = jnp.clip(wh_logit, -WH_LOGIT_CAP, WH_LOGIT_CAP)
+    outside = jnp.isfinite(wh_logit) & (jnp.abs(wh_logit) > WH_LOGIT_CAP)
+    passthru = jnp.where(outside, wh_logit, 0.0)
+    wh_logit = capped + (passthru - jax.lax.stop_gradient(passthru))
     wh = jnp.exp(wh_logit) * stride_t[None]
     pred_boxes = jnp.concatenate([xy - wh / 2, xy + wh / 2], -1)  # (B, A, 4) px
 

@@ -329,18 +329,33 @@ def main(argv=None):
                 "--artifact is exclusive with --ckpt/--torch-ckpt/"
                 "--int8-calib-dir: the artifact already carries its "
                 "weights (export int8 via yst-export --int8-calib-dir)")
-        from yolo_scratch_tpu.export import ArtifactPredictor, load_artifact
+        from yolo_scratch_tpu.export import (
+            ArtifactPredictor,
+            load_artifact,
+            load_host_prep,
+        )
 
         servers = {}
         for spec in args.artifact:
-            name, _, path = spec.rpartition("=")
+            # NAME=PATH only when the prefix is a bare name — a '=' inside
+            # the path itself (sweep dirs like runs/lr=0.01/m.jaxexp) must
+            # not be treated as a separator
+            name, sep, path = spec.partition("=")
+            if not sep or "/" in name or "\\" in name:
+                name, path = "", spec
             name = name or Path(path).stem
             if name in servers:
                 raise SystemExit(f"duplicate model name {name!r}")
-            pred = ArtifactPredictor(load_artifact(path))
+            prep = load_host_prep(path)
+            if prep is None:
+                print(f"note: {path} has no .meta.json host-prep sidecar "
+                      "(pre-sidecar export) — assuming default letterbox "
+                      "prep; re-export to record it")
+            pred = ArtifactPredictor(load_artifact(path), host_prep=prep)
             servers[name] = BatchingServer(pred, max_wait_ms=args.max_wait_ms)
             print(f"model {name!r}: {path} (batch {pred.cfg.batch_size}, "
-                  f"imgsz {pred.cfg.img_size}, ch {pred.in_ch})")
+                  f"imgsz {pred.cfg.img_size}, ch {pred.in_ch}, "
+                  f"prep {'letterbox' if pred.cfg.letterbox else 'stretch'})")
         httpd = make_http_server(servers, host=args.host, port=args.port,
                                  max_body_bytes=args.max_body_mb << 20)
         print(f"serving {len(servers)} model(s) on "

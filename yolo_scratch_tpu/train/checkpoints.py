@@ -24,6 +24,27 @@ def _to_numpy_tree(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _meta_dumps(meta: Dict[str, Any]) -> str:
+    """``json.dumps`` with non-finite floats as null. The stdlib emits
+    ``Infinity``/``NaN`` (e.g. ``best_loss`` = inf on every mAP-gated
+    run), which python reads back but strict JSON parsers (jq,
+    ``JSON.parse``, Go/Rust tooling) reject — and checkpoint meta is an
+    interchange file. Readers treat null as "never set" (see
+    ``try_resume`` / Trainer patience restore)."""
+    import math
+
+    def clean(o):
+        if isinstance(o, dict):
+            return {k: clean(v) for k, v in o.items()}
+        if isinstance(o, (list, tuple)):
+            return [clean(v) for v in o]
+        if isinstance(o, float) and not math.isfinite(o):
+            return None
+        return o
+
+    return json.dumps(clean(meta))
+
+
 def _tree_leaves(tree):
     return [] if tree is None else jax.tree_util.tree_leaves(tree)
 
@@ -159,7 +180,7 @@ class CheckpointManager:
         writer = self._is_writer()
         self._save_tree("last", tree)
         if writer:
-            (self.dir / "last.meta.json").write_text(json.dumps(meta))
+            (self.dir / "last.meta.json").write_text(_meta_dumps(meta))
 
         saved_best = False
         if "mAP50" in val_metrics:
@@ -168,14 +189,14 @@ class CheckpointManager:
                 meta["best_mAP50"] = best_map50
                 self._save_tree("best", tree)
                 if writer:
-                    (self.dir / "best.meta.json").write_text(json.dumps(meta))
+                    (self.dir / "best.meta.json").write_text(_meta_dumps(meta))
                 saved_best = True
         elif val_metrics.get("loss", float("inf")) < best_loss:
             best_loss = float(val_metrics["loss"])
             meta["best_loss"] = best_loss
             self._save_tree("best", tree)
             if writer:
-                (self.dir / "best.meta.json").write_text(json.dumps(meta))
+                (self.dir / "best.meta.json").write_text(_meta_dumps(meta))
             saved_best = True
         return best_loss, best_map50, saved_best
 
@@ -297,9 +318,13 @@ class CheckpointManager:
             ema_params=ema,
             step=jax.numpy.asarray(tree["step"]),
         )
+        # null = non-finite sanitized at write time (_meta_dumps): restore
+        # the "never set" sentinels
+        best_loss = meta.get("best_loss")
+        best_map50 = meta.get("best_mAP50")
         return (
             state,
             int(meta["epoch"]) + 1,
-            float(meta.get("best_loss", float("inf"))),
-            float(meta.get("best_mAP50", 0.0)),
+            float("inf") if best_loss is None else float(best_loss),
+            0.0 if best_map50 is None else float(best_map50),
         )
