@@ -74,7 +74,11 @@ def main():
             feats,  # native bf16 — row selection is dtype-exact; f32 after
             nc=nc, strides=tuple(float(s) for s in model.strides), img_size=img,
             conf_threshold=0.25, iou_threshold=0.45, max_det=300,
-            pre_nms_topk=512, nms_impl="pallas" if batch <= 32 else "xla",
+            # BENCH_TOPK: A/B the prefilter cap (512 = headline point; a
+            # binding cap trades dense-scene recall for NMS latency — see
+            # PredictorConfig.pre_nms_topk and docs/H2H.md)
+            pre_nms_topk=int(os.environ.get("BENCH_TOPK", "512")),
+            nms_impl="pallas" if batch <= 32 else "xla",
             blocked_topk=0)
 
     # NSCAN batches are processed per program launch (lax.scan over distinct

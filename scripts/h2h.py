@@ -254,6 +254,47 @@ def cmd_transplant(args):
     print(json.dumps(out, indent=2))
 
 
+def cmd_eval_ours(args):
+    """Re-score OUR saved best/last checkpoints through the CURRENT
+    evaluator and rewrite result.json's val rows.
+
+    Exists because evaluator fixes can postdate the training run: the
+    round-4 prefilter-cap fix (pre_nms_topk 1000 -> 2048; the old cap
+    silently dropped candidates on dense @640 scenes) changes the scored
+    mAP of already-trained weights. Checkpoint selection (which epoch is
+    'best') is NOT revisited — only the recorded scores of the two saved
+    checkpoints. The losses are re-measured too (same weights, same data:
+    they come out identical).
+    """
+    from yolo_scratch_tpu.train.checkpoints import CheckpointManager
+    from yolo_scratch_tpu.train.trainer import Trainer, TrainerConfig
+
+    model, _, val_loader = _build(args.data)
+    cfg = TrainerConfig(epochs=1, val_conf=0.25, use_ema=False)
+    trainer = Trainer(model, val_loader, val_loader, cfg, seed=SEED)
+    mgr = CheckpointManager(str(TPU_RUN))
+    result = json.loads((TPU_RUN / "result.json").read_text())
+    # only 'last' maps onto an existing report row (final_val IS the last
+    # epoch). The saved 'best' checkpoint is mAP50-GATED — a different
+    # epoch than best_epoch_val (history max over mAP50-95) — so its
+    # rescore goes under its own key instead of silently replacing a row
+    # that means something else.
+    for name, key in (("best", "best_ckpt_mAP50_gated_rescored"),
+                      ("last", "final_val")):
+        state, _, _, _ = mgr.try_resume(trainer.state, name=name)
+        trainer.state = state
+        scores = {k: float(v) for k, v in trainer.validate().items()}
+        print(f"{name}: {json.dumps(scores)}")
+        result[key] = scores
+    result["rescored_note"] = (
+        f"final_val re-scored through the evaluator at pre_nms_topk="
+        f"{cfg.pre_nms_topk} (prefilter-cap fix); best_epoch_val remains "
+        "the training-time history max over mAP50-95 (its checkpoint was "
+        "not retained — only the mAP50-gated best is)")
+    (TPU_RUN / "result.json").write_text(json.dumps(result, indent=2))
+    print("result.json updated")
+
+
 def cmd_cross_eval(args):
     """Score OUR trained detections through the REFERENCE's (corrected)
     evaluator — the decomposition experiment for the strict-IoU offset.
@@ -558,11 +599,13 @@ def main():
     p_x = sub.add_parser("cross-eval")
     p_x.add_argument("--which", default="best", choices=["best", "last"])
     sub.add_parser("det-diff")
+    sub.add_parser("eval-ours")
     args = ap.parse_args()
     TPU_RUN.mkdir(parents=True, exist_ok=True)
     {"train-tpu": cmd_train_tpu, "transplant": cmd_transplant,
      "eval-ref": cmd_eval_ref, "report": cmd_report,
-     "cross-eval": cmd_cross_eval, "det-diff": cmd_det_diff}[args.cmd](args)
+     "cross-eval": cmd_cross_eval, "det-diff": cmd_det_diff,
+     "eval-ours": cmd_eval_ours}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,27 @@ def _batch(B=4, seed=0):
     return next(iter(loader))
 
 
+def test_train_step_matmul_precision_wrapper():
+    """--train-precision plumbs through: the step traces under the
+    requested jax.default_matmul_precision and runs (values identical on
+    CPU where the context is a no-op; on TPU it switches the MXU pass
+    count — the knob that closed the 640 H2H training gap, docs/H2H.md)."""
+    import jax
+    from yolo_scratch_tpu.train.steps import build_train_step_custom, v8_loss_adapter
+
+    model, state, cfg = _tiny_setup()
+    batch = _batch()
+    step = jax.jit(build_train_step_custom(
+        model, v8_loss_adapter(cfg), matmul_precision="highest"))
+    state2, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # CPU backend: highest is a no-op, so the step must agree with default
+    step_d = jax.jit(build_train_step_custom(model, v8_loss_adapter(cfg)))
+    _, metrics_d = step_d(state, batch)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(metrics_d["loss"]), rtol=1e-6)
+
+
 def test_train_loss_decreases():
     from yolo_scratch_tpu.train.steps import make_train_step
 
@@ -99,6 +120,27 @@ def test_eval_step_runs():
     metrics, (boxes, scores, labels, valid) = ev(state, _batch())
     assert np.isfinite(float(metrics["loss"]))
     assert boxes.shape[1] == 20
+
+
+def test_eval_step_reports_prefilter_saturation():
+    """The fixed-shape prefilter cap must be OBSERVABLE when it binds: the
+    reference's eval NMS is uncapped (train_yolo11_cuda.py:306-331), so a
+    binding cap silently drops real detections — measured @640 on trained
+    weights it cost 13/218 (docs/H2H.md). At conf ~0 every anchor (84 at
+    64px) is a candidate: a cap of 32 must report saturation 1.0, a cap
+    above the anchor count 0.0."""
+    from yolo_scratch_tpu.train.steps import make_eval_step
+
+    model, state, cfg = _tiny_setup()
+    batch = _batch()
+    ev_small = make_eval_step(model, cfg, conf_threshold=1e-9, max_det=20,
+                              pre_nms_topk=32)
+    metrics, _ = ev_small(state, batch)
+    assert float(metrics["prefilter_saturated"]) == 1.0
+    ev_big = make_eval_step(model, cfg, conf_threshold=1e-9, max_det=20,
+                            pre_nms_topk=128)
+    metrics, _ = ev_big(state, batch)
+    assert float(metrics["prefilter_saturated"]) == 0.0
 
 
 def test_lr_schedule_matches_reference_shape():

@@ -56,6 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-scale training over bucketed sizes {0.75, 0.875, 1, 1.125}*imgsz")
     p.add_argument("--bf16", action="store_true",
                    help="mixed-precision training (bf16 compute, f32 master weights)")
+    p.add_argument("--train-precision", type=str, default=None,
+                   choices=["default", "high", "highest"],
+                   help="matmul precision for the train step. TPU default "
+                        "runs f32 matmuls as fast bf16 MXU passes; "
+                        "'highest' recovers strict-IoU accuracy (closed "
+                        "the whole -0.029 mAP50-95 H2H gap at 640, "
+                        "docs/H2H.md) at near-zero cost for small scales")
     p.add_argument("--remat", action="store_true",
                    help="gradient checkpointing (activation recompute)")
     p.add_argument("--grad-accum", type=int, default=1,
@@ -219,6 +226,9 @@ def main(argv=None):
         mixed_precision=args.bf16,
         remat=args.remat,
         grad_accum=args.grad_accum,
+        train_matmul_precision=(
+            None if args.train_precision in (None, "default")
+            else args.train_precision),
         bn_mode=args.bn_mode,
         pretrained=args.pretrained,
         final_epochs=args.final_epochs,

@@ -56,8 +56,18 @@ def yolox_loss_adapter(loss_cfg):
 
 
 def build_train_step_custom(model, loss_fn, compute_dtype=None, remat: bool = False,
-                            grad_accum: int = 1):
+                            grad_accum: int = 1, matmul_precision=None):
     """Generic unjitted step; ``loss_fn(feats, batch) -> (total, metrics)``.
+
+    ``matmul_precision``: ``jax.default_matmul_precision`` name for the
+    whole step (None = platform default). On TPU, default f32 matmuls run
+    bf16 MXU passes — fastest, and fine for most training — but the
+    accumulated coordinate noise measurably costs strict-IoU
+    localization: the 640/60-epoch H2H arm trained at default precision
+    landed mAP50-95 −0.029 below the f32-CPU reference, and the identical
+    arm at ``"highest"`` matched/beat it (+0.003 best; docs/H2H.md,
+    ``H2H640_60ep_hp.json``). Use ``"highest"`` when strict-IoU accuracy
+    is the target; at n-scale its step cost is small (HBM-bound step).
 
     ``compute_dtype=jnp.bfloat16`` enables mixed precision: the forward/
     backward run with bf16 weights and activations (MXU-native), while the
@@ -106,6 +116,13 @@ def build_train_step_custom(model, loss_fn, compute_dtype=None, remat: bool = Fa
         return loss, metrics, new_bs, grads
 
     def step(state: TrainState, batch: Dict[str, Any]):
+        if matmul_precision is not None:
+            # trace-time context: the whole step compiles at this precision
+            with jax.default_matmul_precision(matmul_precision):
+                return _step_body(state, batch)
+        return _step_body(state, batch)
+
+    def _step_body(state: TrainState, batch: Dict[str, Any]):
         if grad_accum == 1:
             loss, metrics, new_bs, grads = micro_grads(state.params, state.batch_stats, batch)
             state = state.replace(batch_stats=new_bs).apply_gradients(grads)
@@ -164,15 +181,20 @@ def make_train_step(model, loss_cfg: DetectionLossConfig, donate: bool = True):
 
 
 def make_eval_step(model, loss_cfg: DetectionLossConfig = None, conf_threshold: float = 0.25,
-                   iou_threshold: float = 0.45, max_det: int = 300, pre_nms_topk: int = 1000,
+                   iou_threshold: float = 0.45, max_det: int = 300, pre_nms_topk: int = 2048,
                    use_ema: bool = False, loss_fn=None, decode_fn=None,
-                   match_thresholds=None, per_class: bool = False):
+                   match_thresholds=None, per_class: bool = False,
+                   matmul_precision: str = "highest"):
     """Returns jitted ``eval_step(state, batch) -> (metrics, detections)``.
 
     Detections are fixed-shape (B, max_det, 6) rows of
     [x1, y1, x2, y2, score, label] in normalized coords + a validity mask —
     the on-device equivalent of ``decode_predictions_for_metrics`` + NMS
-    (``train_yolo11_cuda.py:265-399``).
+    (``train_yolo11_cuda.py:265-399``). The reference NMSes every
+    above-conf anchor; fixed shapes force a ``pre_nms_topk`` cap here —
+    2048 so it does not bind at conf 0.25 on measured trained weights
+    (dense @640 scenes reach ~1.5k candidates), with the
+    ``prefilter_saturated`` metric reporting when it does.
 
     ``match_thresholds``: optional IoU-threshold tuple; when set, the step
     also computes greedy TP marks against the batch GT on device
@@ -184,6 +206,16 @@ def make_eval_step(model, loss_cfg: DetectionLossConfig = None, conf_threshold: 
     class-restricted marks (same shape) as a 4th element — one device pass
     serves every class's AP (``utils.metrics.per_class_from_marks``)
     instead of re-running a matcher per class.
+
+    ``matmul_precision``: precision for the eval forward's matmuls/convs
+    (``jax.default_matmul_precision`` names; None = platform default).
+    Defaults to ``"highest"``: on TPU the MXU's default bf16-pass f32
+    matmuls put ~1.15 px mean Linf jitter on decoded boxes, which flips
+    matches at strict IoU thresholds and mis-scores mAP50-95 by ~0.01
+    on measured trained weights (docs/H2H.md "eval-forward matmul
+    precision"). Validation exists to measure accuracy — it pays the
+    ~25% forward cost for exactness; the DEPLOY path (infer.py) keeps
+    the fast default.
     """
     from yolo_scratch_tpu.ops.decode import postprocess, postprocess_from_feats
 
@@ -194,6 +226,14 @@ def make_eval_step(model, loss_cfg: DetectionLossConfig = None, conf_threshold: 
         decode_fn = lambda feats: model.decode(feats)  # (B, A, 4+nc) xywh px + probs
 
     def step(state: TrainState, batch: Dict[str, Any]):
+        if matmul_precision is not None:
+            # context managers apply at trace time — everything inside this
+            # jitted step traces under the requested precision
+            with jax.default_matmul_precision(matmul_precision):
+                return _step_body(state, batch)
+        return _step_body(state, batch)
+
+    def _step_body(state: TrainState, batch: Dict[str, Any]):
         if use_ema and state.ema_params is not None:
             from yolo_scratch_tpu.train.state import ema_as_tree
 
@@ -218,16 +258,34 @@ def make_eval_step(model, loss_cfg: DetectionLossConfig = None, conf_threshold: 
                 max_det=max_det,
                 pre_nms_topk=pre_nms_topk,
             )
+            no = 4 * model.reg_max + model.nc
+            cand = sum(
+                jnp.sum(jax.nn.sigmoid(jnp.max(
+                    f.reshape(f.shape[0], -1, no)[..., 4 * model.reg_max:]
+                    .astype(jnp.float32), axis=-1)) > conf_threshold, axis=-1)
+                for f in feats)
         else:
+            decoded = decode_fn(feats)
             boxes, scores, labels, valid = postprocess(
-                decode_fn(feats),
+                decoded,
                 img_size=img_size,
                 conf_threshold=conf_threshold,
                 iou_threshold=iou_threshold,
                 max_det=max_det,
                 pre_nms_topk=pre_nms_topk,
             )
-        metrics = {"loss": total, **items}
+            cand = jnp.sum(
+                jnp.max(decoded[..., 4:], axis=-1) > conf_threshold, axis=-1)
+        # Silent-cap observability (no reference counterpart — its NMS is
+        # uncapped, train_yolo11_cuda.py:306-331): fraction of images whose
+        # above-conf candidate count exceeds the fixed-shape prefilter cap,
+        # i.e. where real candidates were dropped before NMS. Measured on
+        # trained weights @640 this binds on dense scenes (up to 1476
+        # candidates at conf .25) and costs final detections — see
+        # docs/H2H.md "the prefilter cap".
+        metrics = {"loss": total, **items,
+                   "prefilter_saturated": jnp.mean(
+                       (cand > pre_nms_topk).astype(jnp.float32))}
         if match_thresholds is not None:
             from yolo_scratch_tpu.ops.matching import batched_tp_marks
 

@@ -44,7 +44,20 @@ class TrainerConfig:
     val_conf: float = 0.25
     nms_iou: float = 0.45
     max_det: int = 300
-    pre_nms_topk: int = 1000
+    # prefilter cap for the fixed-shape NMS. The reference's eval NMS is
+    # UNCAPPED (train_yolo11_cuda.py:306-331); a cap that binds silently
+    # drops real detections — measured on trained weights @640, dense val
+    # scenes reach 1476 above-conf candidates, and the old 1000 cap cost
+    # 13/218 final detections (docs/H2H.md). 2048 gives headroom at
+    # conf 0.25; the per-epoch `prefilter_saturated` val metric reports
+    # when even this binds.
+    pre_nms_topk: int = 2048
+    # precision of the EVAL forward (jax.default_matmul_precision name;
+    # None = platform default). "highest" because validation is an
+    # accuracy measurement: the MXU's default bf16-pass f32 matmuls cost
+    # ~0.01 mAP50-95 of scoring error at strict IoU on trained weights
+    # (docs/H2H.md). Training and deploy keep the fast default.
+    val_matmul_precision: Optional[str] = "highest"
     max_val_batches: Optional[int] = None
     save_dir: Optional[str] = None
     use_ema: bool = False
@@ -57,6 +70,13 @@ class TrainerConfig:
     # effective batch scales past HBM at one microbatch's activation
     # memory (steps.build_train_step_custom docstring for the semantics)
     grad_accum: int = 1
+    # TRAIN-step matmul precision (None = platform default = bf16 MXU
+    # passes on TPU — fastest). "highest" recovers strict-IoU accuracy:
+    # at 640/60ep it closed the entire −0.029 mAP50-95 gap to the
+    # f32-CPU reference (+0.003 best; docs/H2H.md, H2H640_60ep_hp.json),
+    # at near-zero step cost for HBM-bound (small/medium) scales. Not on
+    # the shard_map DDP (bn_mode='local') path.
+    train_matmul_precision: Optional[str] = None
     bn_mode: str = "sync"  # 'sync' (global-batch BN) | 'local' (DDP per-replica)
     # Final no-aug phase (YOLOX paper recipe: last ~15 epochs train with
     # mosaic/strong aug OFF; for YOLOX the L1 reg loss also turns ON).
@@ -219,6 +239,7 @@ class Trainer:
         raw_step = build_train_step_custom(
             model, loss_fn, compute_dtype=compute_dtype, remat=config.remat,
             grad_accum=config.grad_accum,
+            matmul_precision=config.train_matmul_precision,
         )
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -255,6 +276,7 @@ class Trainer:
             loss_fn=self._loss_fn,
             decode_fn=self._decode_fn,
             match_thresholds=self._match_thresholds,
+            matmul_precision=config.val_matmul_precision,
         )
 
         self._aug_key = jax.random.PRNGKey(seed + 1)
@@ -314,7 +336,10 @@ class Trainer:
             pat = meta.get("patience")
             if pat is not None:
                 self.since_improve = int(pat["since_improve"])
-                self.patience_best = float(pat["best"])
+                # null = no val fitness recorded before the save (see save
+                # side) — restore the fresh-run sentinel
+                self.patience_best = (-float("inf") if pat["best"] is None
+                                      else float(pat["best"]))
         return self.start_epoch > 0
 
     def _place(self, batch: Dict[str, np.ndarray]):
@@ -473,6 +498,12 @@ class Trainer:
                     all_preds, all_targets, conf_threshold=self.cfg.val_conf, iou_threshold=0.5
                 )
             )
+        if out.get("prefilter_saturated", 0.0) > 0:
+            # the cap dropped real candidates on some images — the mAP
+            # below is an UNDER-estimate relative to an uncapped evaluator
+            print(f"  ! prefilter cap (pre_nms_topk={self.cfg.pre_nms_topk}) "
+                  f"bound on ~{out['prefilter_saturated']:.0%} of val images "
+                  "— raise it for exact eval")
         return out
 
     def fit(self, resume: bool = True) -> Dict[str, Any]:
@@ -487,6 +518,12 @@ class Trainer:
                 self.ckpt.wait()
 
     def _fit(self, resume: bool) -> Dict[str, Any]:
+        # fresh-run defaults FIRST: a reused Trainer (sweeps, scripted
+        # back-to-back fits) must not carry a stale plateau clock from a
+        # previous run into this one — resume() then restores the
+        # persisted counters when there is a checkpoint to continue
+        self.since_improve = 0
+        self.patience_best = -float("inf")
         if resume:
             self.resume()
         history = []
@@ -543,6 +580,9 @@ class Trainer:
             if self.ckpt is not None:
                 extra = None
                 if self.cfg.patience > 0:
+                    # -inf (no val fitness seen yet) lands as null in the
+                    # meta json (checkpoints._meta_dumps); the restore in
+                    # resume() maps null back to the sentinel
                     extra = {"patience": {"since_improve": self.since_improve,
                                           "best": self.patience_best}}
                 self.best_loss, self.best_map50, saved = self.ckpt.save_epoch(
