@@ -108,9 +108,16 @@ def cmd_train_tpu(args):
     from yolo_scratch_tpu.train.trainer import Trainer, TrainerConfig
 
     model, train_loader, val_loader = _build(args.data)
+    # H2H_TRAIN_PRECISION: matmul precision for the TRAIN step (the
+    # precision-bisect arms of docs/H2H.md — 'highest' closed the 640
+    # training-side gap; '' = platform default, what the headline arm
+    # ran). Eval stays exact either way (TrainerConfig.
+    # val_matmul_precision defaults to 'highest').
+    train_prec = os.environ.get("H2H_TRAIN_PRECISION") or None
     cfg = TrainerConfig(
         epochs=EPOCHS, lr=LR, weight_decay=WD, warmup_epochs=3, clip_norm=10.0,
         val_conf=0.25, save_dir=str(TPU_RUN), use_ema=False,
+        train_matmul_precision=train_prec,
     )
     trainer = Trainer(model, train_loader, val_loader, cfg, seed=SEED)
     result = trainer.fit(resume=args.resume)
@@ -121,6 +128,7 @@ def cmd_train_tpu(args):
     )
     out = {
         "framework": "yolo_scratch_tpu",
+        "train_matmul_precision": train_prec or "default",
         "epochs": EPOCHS, "batch": BATCH, "imgsz": IMGSZ, "lr": LR,
         "best_mAP50": result["best_mAP50"],
         "best_epoch_val": best,
