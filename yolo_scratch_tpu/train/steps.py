@@ -67,7 +67,10 @@ def build_train_step_custom(model, loss_fn, compute_dtype=None, remat: bool = Fa
     landed mAP50-95 −0.029 below the f32-CPU reference, and the identical
     arm at ``"highest"`` matched/beat it (+0.003 best; docs/H2H.md,
     ``H2H640_60ep_hp.json``). Use ``"highest"`` when strict-IoU accuracy
-    is the target; at n-scale its step cost is small (HBM-bound step).
+    is the target; measured cost at n@640 B=128 (docs/PERF.md,
+    ``probe_train_precision.py``): f32-default 780 img/s → "high" 645 →
+    "highest" 483 — extra MXU passes are real work even on an HBM-bound
+    step.
 
     ``compute_dtype=jnp.bfloat16`` enables mixed precision: the forward/
     backward run with bf16 weights and activations (MXU-native), while the

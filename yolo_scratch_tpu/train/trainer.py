@@ -73,9 +73,12 @@ class TrainerConfig:
     # TRAIN-step matmul precision (None = platform default = bf16 MXU
     # passes on TPU — fastest). "highest" recovers strict-IoU accuracy:
     # at 640/60ep it closed the entire −0.029 mAP50-95 gap to the
-    # f32-CPU reference (+0.003 best; docs/H2H.md, H2H640_60ep_hp.json),
-    # at near-zero step cost for HBM-bound (small/medium) scales. Not on
-    # the shard_map DDP (bn_mode='local') path.
+    # f32-CPU reference (+0.003 best; docs/H2H.md, H2H640_60ep_hp.json).
+    # Measured step cost at n@640 B=128 (probe_train_precision.py,
+    # docs/PERF.md): f32-default 780 img/s, "high" 645, "highest" 483 —
+    # the accuracy mode costs ~38% of f32 throughput and is still ~10×
+    # the reference's T4. Not on the shard_map DDP (bn_mode='local')
+    # path.
     train_matmul_precision: Optional[str] = None
     bn_mode: str = "sync"  # 'sync' (global-batch BN) | 'local' (DDP per-replica)
     # Final no-aug phase (YOLOX paper recipe: last ~15 epochs train with
