@@ -201,6 +201,10 @@ def main(argv=None):
     p.add_argument("--conf", type=float, default=0.25)
     p.add_argument("--iou", type=float, default=0.45)
     p.add_argument("--max-det", type=int, default=300)
+    p.add_argument("--topk", type=int, default=PredictorConfig.pre_nms_topk,
+                   help="fixed-shape prefilter cap (pre_nms_topk), baked "
+                        "into the artifact; raise toward 2048 for dense "
+                        "scenes (docs/PERF.md 'prefilter cap')")
     p.add_argument("--nc", type=int, default=None)
     p.add_argument("--ch", type=int, default=None)
     p.add_argument("--class-aware", action="store_true")
@@ -227,6 +231,7 @@ def main(argv=None):
         img_size=args.imgsz, batch_size=args.batch, conf_threshold=args.conf,
         iou_threshold=args.iou, max_det=args.max_det,
         class_aware_nms=args.class_aware, nms_impl=args.nms_impl,
+        pre_nms_topk=args.topk,
         letterbox=not args.stretch,
     )
     if args.int8_calib_dir:
@@ -259,6 +264,7 @@ def main(argv=None):
         "baked": {"conf_threshold": cfg.conf_threshold,
                   "iou_threshold": cfg.iou_threshold,
                   "class_aware_nms": cfg.class_aware_nms,
+                  "pre_nms_topk": cfg.pre_nms_topk,
                   "nms_impl": cfg.nms_impl},
     }
     nbytes = save_artifact(exported, args.out, host_prep=host_prep)

@@ -37,9 +37,11 @@ class PredictorConfig:
     # @640 reach ~1.5k above-conf candidates on crowded val images, and a
     # binding cap silently drops the lowest-scoring real detections
     # (docs/H2H.md "the prefilter cap" — it cost 13/218 detections at
-    # K=1000). Raise toward 2048 when detections-per-image matters more
-    # than per-batch latency; the val path (TrainerConfig) defaults to
-    # 2048 for exactly this reason.
+    # K=1000). Raise toward 2048 (CLI: --topk) when detections-per-image
+    # matters more than per-batch latency; the val path (TrainerConfig)
+    # defaults to 2048 for exactly this reason. Measured price at the
+    # headline point (docs/PERF.md): 1024 is −10.6% img/s, 2048 −32.6%
+    # (the NMS sweep is O(K²)).
     pre_nms_topk: int = 512
     letterbox: bool = True
     bf16: bool = True
@@ -475,6 +477,12 @@ def main(argv=None):
                    help="model family (default: read from the checkpoint)")
     p.add_argument("--class-aware", action="store_true",
                    help="class-aware NMS (per-class suppression; COCO-style serving)")
+    p.add_argument("--topk", type=int, default=PredictorConfig.pre_nms_topk,
+                   help="fixed-shape prefilter cap (pre_nms_topk): the NMS "
+                        "sweep length. A binding cap silently drops the "
+                        "lowest-scoring candidates on dense scenes — raise "
+                        "toward 2048 when detections-per-image matters more "
+                        "than latency (docs/PERF.md 'prefilter cap')")
     p.add_argument("--blocked-topk", type=int, default=0,
                    help="opt-in approximate two-stage candidate selection "
                         "(validate with scripts/validate_blocked_topk.py first); "
@@ -511,6 +519,7 @@ def main(argv=None):
         img_size=args.imgsz, batch_size=args.batch, conf_threshold=args.conf,
         iou_threshold=args.iou, letterbox=not args.stretch,
         class_aware_nms=args.class_aware,
+        pre_nms_topk=args.topk,
         blocked_topk=args.blocked_topk,
     )
     if args.int8_calib:

@@ -300,6 +300,11 @@ def main(argv=None):
     p.add_argument("--conf", type=float, default=0.25)
     p.add_argument("--iou", type=float, default=0.45)
     p.add_argument("--class-aware", action="store_true")
+    p.add_argument("--topk", type=int, default=PredictorConfig.pre_nms_topk,
+                   help="fixed-shape prefilter cap (pre_nms_topk); raise "
+                        "toward 2048 for dense scenes (docs/PERF.md "
+                        "'prefilter cap'). Ignored with --artifact (baked "
+                        "at export time)")
     p.add_argument("--nc", type=int, default=None)
     p.add_argument("--ch", type=int, default=None)
     p.add_argument("--host", type=str, default="127.0.0.1")
@@ -378,6 +383,7 @@ def main(argv=None):
     cfg = PredictorConfig(
         img_size=args.imgsz, batch_size=args.batch, conf_threshold=args.conf,
         iou_threshold=args.iou, class_aware_nms=args.class_aware,
+        pre_nms_topk=args.topk,
     )
     if args.int8_calib_dir:
         from yolo_scratch_tpu.nn.quant import (
