@@ -38,6 +38,12 @@ def main():
     ap.add_argument("--imgsz", type=int, default=640)
     ap.add_argument("--nscan", type=int, default=8)
     ap.add_argument("--topks", default="512,1024,2048")
+    ap.add_argument("--nms", default="xla",
+                    help="comma list of NMS impls to A/B (xla, tiled, pallas)")
+    ap.add_argument("--conf", type=float, default=0.25,
+                    help="conf threshold; 0.001 saturates the cap (dense "
+                         "worst case — stresses tiled's data-dependent "
+                         "fixpoint)")
     ap.add_argument("--out", default="/tmp/topk_cost.json")
     args = ap.parse_args()
 
@@ -64,39 +70,43 @@ def main():
 
     results = {}
     for topk in (int(t) for t in args.topks.split(",")):
+        for impl in args.nms.split(","):
 
-        def infer_one(variables, x, topk=topk):
-            xx = x.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
-            feats = model.apply(variables, xx, train=False)
-            return postprocess_from_feats(
-                feats, nc=nc, strides=tuple(float(s) for s in model.strides),
-                img_size=img, conf_threshold=0.25, iou_threshold=0.45,
-                max_det=300, pre_nms_topk=topk,
-                nms_impl="pallas" if B <= 32 else "xla", blocked_topk=0)
+            def infer_one(variables, x, topk=topk, impl=impl):
+                xx = x.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+                feats = model.apply(variables, xx, train=False)
+                return postprocess_from_feats(
+                    feats, nc=nc, strides=tuple(float(s) for s in model.strides),
+                    img_size=img, conf_threshold=args.conf, iou_threshold=0.45,
+                    max_det=300, pre_nms_topk=topk,
+                    nms_impl=impl, blocked_topk=0)
 
-        @jax.jit
-        def infer(variables, xs, infer_one=infer_one):
-            def body(_, x):
-                return None, infer_one(variables, x)
+            @jax.jit
+            def infer(variables, xs, infer_one=infer_one):
+                def body(_, x):
+                    return None, infer_one(variables, x)
 
-            return jax.lax.scan(body, None, xs)[1]
+                return jax.lax.scan(body, None, xs)[1]
 
-        print(f"[topk={topk}] compiling...", flush=True)
-        sync(infer(variables, xs))
-        sync(infer(variables, xs))
-        iters, best_dt = 8, float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                out = infer(variables, xs)
-            sync(out)
-            best_dt = min(best_dt, time.perf_counter() - t0)
-        ips = B * nscan * iters / best_dt
-        results[str(topk)] = {"img_per_s": round(ips, 1),
-                              "ms_per_batch": round(best_dt / (nscan * iters) * 1e3, 3)}
-        print(f"[topk={topk}] {ips:,.0f} img/s", flush=True)
+            tag = f"topk={topk} nms={impl}"
+            print(f"[{tag}] compiling...", flush=True)
+            sync(infer(variables, xs))
+            sync(infer(variables, xs))
+            iters, best_dt = 8, float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    out = infer(variables, xs)
+                sync(out)
+                best_dt = min(best_dt, time.perf_counter() - t0)
+            ips = B * nscan * iters / best_dt
+            results[f"{topk}/{impl}"] = {
+                "img_per_s": round(ips, 1),
+                "ms_per_batch": round(best_dt / (nscan * iters) * 1e3, 3)}
+            print(f"[{tag}] {ips:,.0f} img/s", flush=True)
 
-    out = {"batch": B, "imgsz": img, "nscan": nscan, "results": results}
+    out = {"batch": B, "imgsz": img, "nscan": nscan, "conf": args.conf,
+           "results": results}
     Path(args.out).write_text(json.dumps(out, indent=2))
     print(json.dumps(out, indent=2))
 
