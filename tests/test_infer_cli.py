@@ -113,3 +113,42 @@ def test_predict_paths_inflight_depth_equivalence(tmp_path):
         np.testing.assert_allclose(a["boxes"], b["boxes"], rtol=0, atol=0)
         np.testing.assert_allclose(a["scores"], b["scores"], rtol=0, atol=0)
         assert a["labels"] == b["labels"]
+
+
+def test_infer_cli_topk_reaches_predictor_config(tmp_path, monkeypatch):
+    """--topk (round 4) must land in PredictorConfig.pre_nms_topk: the flag
+    is the deploy-side recall/latency knob (docs/PERF.md 'prefilter cap')
+    and a silent drop would reintroduce the capped-recall bug the 640 H2H
+    decomposition found (docs/H2H.md). Wiring-only: the Predictor is
+    replaced by a recorder, so no device compile happens."""
+    from PIL import Image
+
+    from yolo_scratch_tpu import infer as infer_cli
+
+    _make_ckpt(tmp_path, ch=1, nc=5)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.fromarray(np.zeros((80, 96), np.uint8)).save(img_dir / "i0.png")
+
+    seen = {}
+
+    class _Recorder:
+        def __init__(self, model, variables, cfg):
+            seen["cfg"] = cfg
+
+        def predict_paths(self, paths):
+            return iter(())
+
+    monkeypatch.setattr(infer_cli, "Predictor", _Recorder)
+    infer_cli.main([
+        "--images", str(img_dir), "--ckpt", str(tmp_path / "ckpt"),
+        "--imgsz", "160", "--batch", "1", "--topk", "777",
+    ])
+    assert seen["cfg"].pre_nms_topk == 777
+    # default stays the documented deploy default when the flag is absent
+    seen.clear()
+    infer_cli.main([
+        "--images", str(img_dir), "--ckpt", str(tmp_path / "ckpt"),
+        "--imgsz", "160", "--batch", "1",
+    ])
+    assert seen["cfg"].pre_nms_topk == infer_cli.PredictorConfig.pre_nms_topk
