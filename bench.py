@@ -30,7 +30,8 @@ def main():
     from yolo_scratch_tpu.ops.decode import postprocess_from_feats
 
     img, ch, nc = 640, 1, 5
-    batch = int(__import__("os").environ.get("BENCH_BATCH", "128"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    topk = int(os.environ.get("BENCH_TOPK", "512"))
     model = build_yolo11("yolo_scratch_tpu/configs/yolo11_crater.yaml", ch=ch, nc=nc, scale="n")
     variables = model.init(jax.random.PRNGKey(0), np.zeros((1, img, img, ch), np.float32))
 
@@ -77,7 +78,7 @@ def main():
             # BENCH_TOPK: A/B the prefilter cap (512 = headline point; a
             # binding cap trades dense-scene recall for NMS latency — see
             # PredictorConfig.pre_nms_topk and docs/H2H.md)
-            pre_nms_topk=int(os.environ.get("BENCH_TOPK", "512")),
+            pre_nms_topk=topk,
             nms_impl="pallas" if batch <= 32 else "xla",
             blocked_topk=0)
 
@@ -87,7 +88,7 @@ def main():
     # ~5 ms per launch (measured), which would otherwise bill pure tunnel
     # overhead against the chip. Serving deployments batch dispatches the
     # same way (see infer.py's pipelined streaming).
-    nscan = int(__import__("os").environ.get("BENCH_NSCAN", "8"))
+    nscan = int(os.environ.get("BENCH_NSCAN", "8"))
 
     @jax.jit
     def infer(variables, xs):  # xs: (nscan, B, H, W, C)
@@ -125,17 +126,23 @@ def main():
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     imgs_per_sec = batch * nscan * iters / best_dt
-    print(
-        json.dumps(
-            {
-                "metric": "yolo11n_640_infer_images_per_sec_per_chip"
-                + ("_int8" if int8 else ""),
-                "value": round(imgs_per_sec, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(imgs_per_sec / 2000.0, 4),
-            }
-        )
-    )
+    row = {
+        "metric": "yolo11n_640_infer_images_per_sec_per_chip"
+        + ("_int8" if int8 else ""),
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / 2000.0, 4),
+    }
+    # non-headline knobs must be visible in the artifact: a BENCH_TOPK=2048
+    # run is ~33% slower (docs/PERF.md 'prefilter cap') and must never be
+    # mistaken for the K=512 headline number when the output is tee'd
+    if topk != 512:
+        row["pre_nms_topk"] = topk
+    if batch != 128:
+        row["batch"] = batch
+    if nscan != 8:
+        row["nscan"] = nscan
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

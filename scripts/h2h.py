@@ -289,6 +289,15 @@ def cmd_eval_ours(args):
     # that means something else.
     for name, key in (("best", "best_ckpt_mAP50_gated_rescored"),
                       ("last", "final_val")):
+        # try_resume silently returns the PASSED-IN state when the meta
+        # sidecar is missing — which here is a fresh random init. Scoring
+        # that would overwrite result.json rows with plausible-looking
+        # garbage; refuse instead.
+        if not (TPU_RUN / f"{name}.meta.json").exists():
+            raise SystemExit(
+                f"no {name!r} checkpoint in {TPU_RUN} ({name}.meta.json "
+                "missing) — refusing to rescore an unrestored (random-init) "
+                "state into result.json")
         state, _, _, _ = mgr.try_resume(trainer.state, name=name)
         trainer.state = state
         scores = {k: float(v) for k, v in trainer.validate().items()}

@@ -197,13 +197,7 @@ def test_artifact_host_prep_sidecar_roundtrip(tmp_path):
 
 def test_serve_artifact_spec_parsing():
     """NAME=PATH splitting must not eat '=' inside the path itself."""
-    from pathlib import Path
-
-    def parse(spec):  # mirrors serve.py's --artifact loop
-        name, sep, path = spec.partition("=")
-        if not sep or "/" in name or "\\" in name:
-            name, path = "", spec
-        return name or Path(path).stem, path
+    from yolo_scratch_tpu.serve import parse_artifact_spec as parse
 
     assert parse("det=models/a.jaxexp") == ("det", "models/a.jaxexp")
     assert parse("models/a.jaxexp") == ("a", "models/a.jaxexp")

@@ -148,6 +148,15 @@ def test_early_stopping_resets_on_fresh_fit(tmp_path):
     scripted([0.1, 0.2, 0.3, 0.4])  # improving: must run the full budget
     r2 = trainer.fit(resume=False)
     assert len(r2["history"]) == 4
+    # the best-so-far gates and start epoch reset too: run 2's own peak
+    # (0.4 < run 1's 0.6) must be what it reports and saves as 'best' —
+    # stale run-1 values would suppress every 'best' save in run 2 and
+    # a stale start_epoch would silently skip run 2's first epochs
+    assert r2["best_mAP50"] == 0.4
+    import json as _json
+
+    best_meta = _json.loads((tmp_path / "run" / "best.meta.json").read_text())
+    assert best_meta["best_mAP50"] == 0.4
 
 
 def test_checkpoint_meta_is_strict_json(tmp_path):

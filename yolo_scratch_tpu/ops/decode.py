@@ -197,6 +197,7 @@ def postprocess(
     static_argnames=(
         "nc", "strides", "reg_max", "img_size", "conf_threshold", "iou_threshold",
         "max_det", "pre_nms_topk", "class_aware", "nms_impl", "blocked_topk",
+        "with_cand_count",
     ),
 )
 def postprocess_from_feats(
@@ -212,6 +213,7 @@ def postprocess_from_feats(
     class_aware: bool = False,
     nms_impl: str = "xla",
     blocked_topk: int = 0,
+    with_cand_count: bool = False,
 ):
     """Fused decode+postprocess from raw head maps: select first, decode 512.
 
@@ -336,4 +338,11 @@ def postprocess_from_feats(
     out_b, out_s, out_l, out_v = gather_topk_detections_batched(
         boxes, top_scores, top_labels, keep, max_det=max_det)
     out_b = jnp.clip(out_b / img_size, 0.0, 1.0)
+    if with_cand_count:
+        # (B,) int32 above-conf candidate count — the exact gate this path
+        # selected from (pad rows already masked), so callers observing
+        # prefilter-cap saturation (train/steps.py) don't re-reduce the
+        # full (B, A, no) head maps a second time
+        return out_b, out_s, out_l, out_v, jnp.sum(
+            conf_ok.astype(jnp.int32), axis=-1)
     return out_b, out_s, out_l, out_v

@@ -45,6 +45,19 @@ from typing import Optional
 import numpy as np
 
 
+def parse_artifact_spec(spec: str):
+    """Split an ``--artifact`` operand into ``(name, path)``.
+
+    NAME=PATH only when the prefix is a bare name — a '=' inside the path
+    itself (sweep dirs like ``runs/lr=0.01/m.jaxexp``) must not be treated
+    as a separator. With no name, the file stem is the route name.
+    """
+    name, sep, path = spec.partition("=")
+    if not sep or "/" in name or "\\" in name:
+        name, path = "", spec
+    return name or Path(path).stem, path
+
+
 class BatchingServer:
     """Coalesces concurrent detect requests into fixed-shape device batches."""
 
@@ -342,13 +355,7 @@ def main(argv=None):
 
         servers = {}
         for spec in args.artifact:
-            # NAME=PATH only when the prefix is a bare name — a '=' inside
-            # the path itself (sweep dirs like runs/lr=0.01/m.jaxexp) must
-            # not be treated as a separator
-            name, sep, path = spec.partition("=")
-            if not sep or "/" in name or "\\" in name:
-                name, path = "", spec
-            name = name or Path(path).stem
+            name, path = parse_artifact_spec(spec)
             if name in servers:
                 raise SystemExit(f"duplicate model name {name!r}")
             prep = load_host_prep(path)

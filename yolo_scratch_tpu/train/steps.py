@@ -249,8 +249,11 @@ def make_eval_step(model, loss_cfg: DetectionLossConfig = None, conf_threshold: 
         total, items = loss_fn(feats, batch)
         img_size = batch["img"].shape[1]
         if fused_decode:
-            # select-then-decode: exact, DFL integral on pre_nms_topk rows only
-            boxes, scores, labels, valid = postprocess_from_feats(
+            # select-then-decode: exact, DFL integral on pre_nms_topk rows
+            # only. with_cand_count reuses the conf gate it already computed
+            # (re-reducing the dense head maps here would double the val
+            # step's dominant HBM traffic)
+            boxes, scores, labels, valid, cand = postprocess_from_feats(
                 feats,  # native dtype — row selection is dtype-exact
                 nc=model.nc,
                 strides=tuple(float(s) for s in model.strides),
@@ -260,13 +263,8 @@ def make_eval_step(model, loss_cfg: DetectionLossConfig = None, conf_threshold: 
                 iou_threshold=iou_threshold,
                 max_det=max_det,
                 pre_nms_topk=pre_nms_topk,
+                with_cand_count=True,
             )
-            no = 4 * model.reg_max + model.nc
-            cand = sum(
-                jnp.sum(jax.nn.sigmoid(jnp.max(
-                    f.reshape(f.shape[0], -1, no)[..., 4 * model.reg_max:]
-                    .astype(jnp.float32), axis=-1)) > conf_threshold, axis=-1)
-                for f in feats)
         else:
             decoded = decode_fn(feats)
             boxes, scores, labels, valid = postprocess(
@@ -286,9 +284,20 @@ def make_eval_step(model, loss_cfg: DetectionLossConfig = None, conf_threshold: 
         # trained weights @640 this binds on dense scenes (up to 1476
         # candidates at conf .25) and costs final detections — see
         # docs/H2H.md "the prefilter cap".
-        metrics = {"loss": total, **items,
-                   "prefilter_saturated": jnp.mean(
-                       (cand > pre_nms_topk).astype(jnp.float32))}
+        # fraction of REAL images whose candidates exceed the cap: the
+        # loader wrap-pads the final short batch with duplicate images, so
+        # count only sample_valid rows (a duplicated dense image must not
+        # inflate the fraction). Batches are weighted equally by the
+        # trainer's metric mean, so a short final batch's real images weigh
+        # slightly more than full batches' — acceptable for a warning metric.
+        sat = (cand > pre_nms_topk).astype(jnp.float32)
+        sv = batch.get("sample_valid")
+        if sv is not None:
+            svf = sv.astype(jnp.float32)
+            sat_frac = jnp.sum(sat * svf) / jnp.maximum(jnp.sum(svf), 1.0)
+        else:
+            sat_frac = jnp.mean(sat)
+        metrics = {"loss": total, **items, "prefilter_saturated": sat_frac}
         if match_thresholds is not None:
             from yolo_scratch_tpu.ops.matching import batched_tp_marks
 

@@ -522,9 +522,15 @@ class Trainer:
 
     def _fit(self, resume: bool) -> Dict[str, Any]:
         # fresh-run defaults FIRST: a reused Trainer (sweeps, scripted
-        # back-to-back fits) must not carry a stale plateau clock from a
-        # previous run into this one — resume() then restores the
-        # persisted counters when there is a checkpoint to continue
+        # back-to-back fits) must not carry a stale plateau clock, best-so-
+        # far gates, or start epoch from a previous run into this one —
+        # resume() then restores the persisted values when there is a
+        # checkpoint to continue (stale best_map50 would suppress 'best'
+        # saves for the whole second run; stale start_epoch would skip its
+        # first epochs outright)
+        self.best_loss = float("inf")
+        self.best_map50 = 0.0
+        self.start_epoch = 0
         self.since_improve = 0
         self.patience_best = -float("inf")
         if resume:
