@@ -1,11 +1,22 @@
 """Headline benchmark: YOLO11n 640x640 end-to-end inference throughput.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline: BASELINE.json north star >= 2000 images/sec/chip on v5e.
 
 The measured step is the full deploy path on one chip: model forward (bf16
 compute) + DFL decode + confidence filter + class-agnostic NMS — all inside
 a single jit program, batched.
+
+Two configurations are measured in one process (one compile each):
+
+* the crater-shaped row (ch=1, nc=5 — the reference's own domain,
+  ``train_yolo11_cuda.py:554``), which remains the headline ``value``;
+* the COCO-shaped row (ch=3, nc=80 — the north-star config as BASELINE.json
+  names it), emitted under ``coco_shaped`` in the same JSON line.
+
+``BENCH_COCO=0`` skips the second measurement (halves a cold-cache run —
+TPU compiles over the axon tunnel cost minutes and the persistent cache
+does not hit across processes).
 """
 
 import json
@@ -25,19 +36,16 @@ jax.config.update(
 import jax.numpy as jnp
 
 
-def main():
+def measure(img, ch, nc, batch, topk, nscan, int8):
+    """Build the deploy program for (ch, nc) and time it. Returns img/s."""
     from yolo_scratch_tpu.models.builder import build_yolo11
+    from yolo_scratch_tpu.nn.fuse import fuse_conv_bn
     from yolo_scratch_tpu.ops.decode import postprocess_from_feats
 
-    img, ch, nc = 640, 1, 5
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
-    topk = int(os.environ.get("BENCH_TOPK", "512"))
     model = build_yolo11("yolo_scratch_tpu/configs/yolo11_crater.yaml", ch=ch, nc=nc, scale="n")
     variables = model.init(jax.random.PRNGKey(0), np.zeros((1, img, img, ch), np.float32))
 
     # deploy path: fold BN into conv kernels, bf16 weights + activations
-    from yolo_scratch_tpu.nn.fuse import fuse_conv_bn
-
     variables = fuse_conv_bn(variables)
     variables = {
         "params": jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), variables["params"]),
@@ -47,7 +55,6 @@ def main():
     # BENCH_INT8=1: opt-in int8 PTQ variant (docs/QUANT.md). Random-data
     # calibration — scales are arbitrary for a throughput measurement; the
     # compute graph (s8xs8->s32 convs + fused dequant) is the real one.
-    int8 = os.environ.get("BENCH_INT8") == "1"
     if int8:
         from yolo_scratch_tpu.nn.quant import quantize_for_deploy
 
@@ -60,7 +67,7 @@ def main():
         # uint8; PredictorConfig.u8_transfer): normalize in-jit, in bf16
         xx = x.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
         feats = model.apply(variables, xx, train=False)
-        # Fused select-then-decode: DFL integral runs on the 512 selected
+        # Fused select-then-decode: DFL integral runs on the topk selected
         # candidates only; payload selection is gather-free (einsum).
         # NMS impl crossover: the Pallas batch-in-kernel sweep wins up to
         # ~B=32 (1.57 vs 2.32 ms at N=512); XLA's cross-batch loop wins at
@@ -88,8 +95,6 @@ def main():
     # ~5 ms per launch (measured), which would otherwise bill pure tunnel
     # overhead against the chip. Serving deployments batch dispatches the
     # same way (see infer.py's pipelined streaming).
-    nscan = int(os.environ.get("BENCH_NSCAN", "8"))
-
     @jax.jit
     def infer(variables, xs):  # xs: (nscan, B, H, W, C)
         def body(_, x):
@@ -125,23 +130,39 @@ def main():
         sync(out)
         best_dt = min(best_dt, time.perf_counter() - t0)
 
-    imgs_per_sec = batch * nscan * iters / best_dt
+    return batch * nscan * iters / best_dt
+
+
+def main():
+    img = 640
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    topk = int(os.environ.get("BENCH_TOPK", "512"))
+    nscan = int(os.environ.get("BENCH_NSCAN", "8"))
+    int8 = os.environ.get("BENCH_INT8") == "1"
+    with_coco = os.environ.get("BENCH_COCO", "1") != "0"
+
+    imgs_per_sec = measure(img, 1, 5, batch, topk, nscan, int8)
     row = {
         "metric": "yolo11n_640_infer_images_per_sec_per_chip"
         + ("_int8" if int8 else ""),
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / 2000.0, 4),
+        # knob keys are emitted unconditionally so a pinned-knob run is
+        # distinguishable from the headline in the artifact (ADVICE r4)
+        "pre_nms_topk": topk,
+        "batch": batch,
+        "nscan": nscan,
     }
-    # non-headline knobs must be visible in the artifact: a BENCH_TOPK=2048
-    # run is ~33% slower (docs/PERF.md 'prefilter cap') and must never be
-    # mistaken for the K=512 headline number when the output is tee'd
-    if topk != 512:
-        row["pre_nms_topk"] = topk
-    if batch != 128:
-        row["batch"] = batch
-    if nscan != 8:
-        row["nscan"] = nscan
+    if with_coco:
+        coco_ips = measure(img, 3, 80, batch, topk, nscan, int8)
+        row["coco_shaped"] = {
+            "metric": "yolo11n_coco640_infer_images_per_sec_per_chip"
+            + ("_int8" if int8 else ""),
+            "value": round(coco_ips, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(coco_ips / 2000.0, 4),
+        }
     print(json.dumps(row))
 
 

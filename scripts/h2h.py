@@ -43,7 +43,9 @@ import os
 H2H_ROOT = Path(os.environ.get("H2H_ROOT", "/tmp/h2h"))
 DATA_DIR = H2H_ROOT / "data"
 REF_RUN = Path(os.environ.get("H2H_REF_RUN", str(H2H_ROOT / "ref_run")))
-TPU_RUN = H2H_ROOT / "tpu_run"
+# H2H_TPU_RUN: separate run dirs for the precision-frontier arms (round 5)
+# so bf16-mixed / f32-high / highest runs coexist under one H2H_ROOT.
+TPU_RUN = Path(os.environ.get("H2H_TPU_RUN", str(H2H_ROOT / "tpu_run")))
 
 EPOCHS = int(os.environ.get("H2H_EPOCHS", "60"))
 BATCH = int(os.environ.get("H2H_BATCH", "8"))
@@ -114,10 +116,14 @@ def cmd_train_tpu(args):
     # ran). Eval stays exact either way (TrainerConfig.
     # val_matmul_precision defaults to 'highest').
     train_prec = os.environ.get("H2H_TRAIN_PRECISION") or None
+    # H2H_MIXED=1: the bf16-mixed frontier arm (round 5) — the training
+    # throughput headline's own mode (bf16 fwd/bwd, f32 master weights),
+    # whose 640 accuracy was previously unmeasured.
+    mixed = os.environ.get("H2H_MIXED", "") == "1"
     cfg = TrainerConfig(
         epochs=EPOCHS, lr=LR, weight_decay=WD, warmup_epochs=3, clip_norm=10.0,
         val_conf=0.25, save_dir=str(TPU_RUN), use_ema=False,
-        train_matmul_precision=train_prec,
+        train_matmul_precision=train_prec, mixed_precision=mixed,
     )
     trainer = Trainer(model, train_loader, val_loader, cfg, seed=SEED)
     result = trainer.fit(resume=args.resume)
@@ -129,6 +135,7 @@ def cmd_train_tpu(args):
     out = {
         "framework": "yolo_scratch_tpu",
         "train_matmul_precision": train_prec or "default",
+        "mixed_precision": mixed,
         "epochs": EPOCHS, "batch": BATCH, "imgsz": IMGSZ, "lr": LR,
         "best_mAP50": result["best_mAP50"],
         "best_epoch_val": best,

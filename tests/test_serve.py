@@ -204,3 +204,82 @@ def test_serve_over_dp_mesh():
             assert set(out) == {"boxes", "scores", "labels"}
     finally:
         batching.close()
+
+
+# ---------------------------------------------------------------- pipelining
+
+class _LazyOut:
+    """Mimics an async device result: 'completes' d_dev after dispatch;
+    np.asarray blocks until then (the daemon's fetch discipline)."""
+
+    def __init__(self, d_dev, B):
+        import time
+
+        self.ready_at = time.monotonic() + d_dev
+        self.B = B
+
+    def __array__(self, dtype=None, copy=None):
+        import time
+
+        wait = self.ready_at - time.monotonic()
+        if wait > 0:
+            time.sleep(wait)
+        return np.zeros((self.B, 4, 7), np.float32)
+
+
+class _FakePredictor:
+    """Host decode costs d_host (sleep), device costs d_dev (LazyOut)."""
+
+    class _Cfg:
+        batch_size = 2
+        img_size = 8
+        u8_transfer = False
+
+    in_ch = 1
+    variables = None
+
+    def __init__(self, d_host, d_dev, inflight):
+        self.d_host, self.d_dev = d_host, d_dev
+        self.cfg = self._Cfg()
+        self.cfg.inflight = inflight
+
+    def _prepare(self, paths):
+        import time
+
+        time.sleep(self.d_host)
+        n = len(paths)
+        return (np.zeros((n, 8, 8, 1), np.float32),
+                np.zeros((n, 5), np.float32))
+
+    def _infer_packed(self, variables, imgs):
+        return _LazyOut(self.d_dev, imgs.shape[0])
+
+    def _unmap_boxes(self, b, m):
+        return b
+
+
+def _drive(inflight, n_req=8, d=0.03):
+    import time
+
+    from yolo_scratch_tpu.serve import BatchingServer
+
+    srv = BatchingServer(_FakePredictor(d, d, inflight), max_wait_ms=50.0,
+                         inflight=inflight)
+    t0 = time.monotonic()
+    futs = [srv.submit(b"x") for _ in range(n_req)]
+    for f in futs:
+        out = f.result(timeout=30)
+        assert out["boxes"] == [] and out["scores"] == []
+    dt = time.monotonic() - t0
+    srv.close()
+    return dt
+
+
+def test_worker_pipelines_decode_with_device():
+    """With inflight>1 the worker decodes batch N+1 while batch N runs on
+    the 'device': 4 batches of (30 ms decode + 30 ms device) must finish
+    materially faster than the serialized inflight=1 loop (~240 ms vs
+    ~150 ms ideal; require a conservative 1.2x)."""
+    t_serial = _drive(inflight=1)
+    t_pipe = _drive(inflight=3)
+    assert t_serial > 1.2 * t_pipe, (t_serial, t_pipe)

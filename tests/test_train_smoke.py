@@ -143,6 +143,50 @@ def test_eval_step_reports_prefilter_saturation():
     assert float(metrics["prefilter_saturated"]) == 0.0
 
 
+def test_prefilter_saturation_masks_wrap_padding():
+    """A saturated wrap-padding duplicate must NOT inflate the metric: the
+    loader pads the final short batch by wrapping (n=3, batch 4 -> row 3
+    duplicates row 0), and steps.py counts saturation over sample_valid
+    rows only. Constructed so the duplicated image saturates while at
+    least one real image does not — the masked fraction then differs from
+    the naive batch mean, which is what this asserts."""
+    from yolo_scratch_tpu.data.loader import Loader
+    from yolo_scratch_tpu.data.synthetic import SyntheticDataset
+    from yolo_scratch_tpu.train.steps import make_eval_step
+
+    model, state, cfg = _tiny_setup()
+    ds = SyntheticDataset(n=3, img_size=IMG, channels=CH, num_classes=NC, seed=0)
+    batch = next(iter(Loader(ds, batch_size=4, max_gt=G, prefetch=0)))
+    assert batch["sample_valid"].tolist() == [True, True, True, False]
+
+    feats = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["img"], train=False,
+    )
+    probs = np.asarray(model.decode(feats)[..., 4:].max(axis=-1))  # (4, A)
+    conf = cap = None
+    for q in (0.3, 0.5, 0.7, 0.9):
+        c = float(np.quantile(probs, q))
+        counts = (probs > c).sum(axis=1)
+        if counts[0] > counts[1:3].min():
+            conf, cap = c, int((counts[0] + counts[1:3].min()) // 2)
+            break
+    if conf is None:
+        pytest.skip("random init produced no per-image candidate separation")
+
+    counts = (probs > conf).sum(axis=1)
+    sat = counts > cap
+    assert sat[0] and sat[3] and not sat.all()  # duplicate saturates, a real image doesn't
+    expected_masked = float(sat[:3].mean())
+    naive_mean = float(sat.mean())
+    assert expected_masked != naive_mean  # the construction discriminates
+
+    ev = make_eval_step(model, cfg, conf_threshold=conf, max_det=20, pre_nms_topk=cap)
+    metrics, _ = ev(state, batch)
+    np.testing.assert_allclose(
+        float(metrics["prefilter_saturated"]), expected_masked, atol=1e-6)
+
+
 def test_lr_schedule_matches_reference_shape():
     from yolo_scratch_tpu.train.optim import cosine_epoch_schedule
 

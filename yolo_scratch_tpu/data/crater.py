@@ -21,6 +21,7 @@ import csv
 import glob
 import math
 import os
+import threading
 from collections import OrderedDict
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
@@ -75,6 +76,9 @@ class CraterDataset:
         self.samples = self._load_annotations()
         self._cache: OrderedDict[int, np.ndarray] = OrderedDict()
         self._cache_size = cache_size
+        # Loader(workers=N) fetches samples from a thread pool; the LRU's
+        # OrderedDict mutations need a lock (decode itself runs unlocked).
+        self._cache_lock = threading.Lock()
 
     def _load_annotations(self) -> List[Dict]:
         samples = []
@@ -116,17 +120,18 @@ class CraterDataset:
         return len(self.samples)
 
     def _load_image(self, idx: int) -> Tuple[np.ndarray, Tuple[int, int]]:
-        if idx in self._cache:
-            self._cache.move_to_end(idx)
-            img, hw0 = self._cache[idx]
-            return img, hw0
+        with self._cache_lock:
+            if idx in self._cache:
+                self._cache.move_to_end(idx)
+                return self._cache[idx]
         raw = _imread_gray(self.samples[idx]["img_path"])
         hw0 = raw.shape[:2]
         img = _resize_stretch(raw, self.img_size)
         if self._cache_size > 0:
-            self._cache[idx] = (img, hw0)
-            while len(self._cache) > self._cache_size:
-                self._cache.popitem(last=False)
+            with self._cache_lock:
+                self._cache[idx] = (img, hw0)
+                while len(self._cache) > self._cache_size:
+                    self._cache.popitem(last=False)
         return img, hw0
 
     def __getitem__(self, idx: int):

@@ -6,6 +6,16 @@ double-buffered background-thread pipeline feeding jit-ready numpy batches.
 Device placement/sharding happens in the caller (``parallel.shard_batch``),
 so the loader stays framework-free and testable.
 
+``workers=N`` decodes a batch's samples concurrently on a thread pool —
+the analog of the reference's ``num_workers`` DataLoader processes. Threads
+(not processes) suffice here because the per-sample hot path releases the
+GIL: the native decoder (``data/native.py``, a ctypes foreign call) and
+cv2's resize both drop it, so N threads drive N cores of decode. Unlike a
+whole-batch handoff to the native ``prepare_batch`` pool (used by the
+*infer* path), per-item threading keeps batches **bit-exact** vs the serial
+path — it runs the identical ``dataset[i]`` code per sample, so cache
+semantics, cv2-exact resize, and annotation math are untouched.
+
 Boxes leave the loader as normalized **xyxy** (the reference collate's
 convert+clamp, ``datasets/crater_dataset_cuda.py:311-324``).
 """
@@ -14,6 +24,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional, Sequence
 
 import numpy as np
@@ -53,6 +64,7 @@ class Loader:
         prefetch: int = 2,
         multiscale_sizes: Optional[Sequence[int]] = None,
         multiscale_interval: int = 10,
+        workers: int = 0,
     ):
         """``multiscale_sizes``: optional bucket list (e.g. [480, 576, 640,
         736]); every ``multiscale_interval`` batches a new bucket is drawn
@@ -70,6 +82,17 @@ class Loader:
         self.epoch = 0
         self.multiscale_sizes = list(multiscale_sizes) if multiscale_sizes else None
         self.multiscale_interval = max(multiscale_interval, 1)
+        # workers<=1 -> serial in-thread decode (the round-4 behavior);
+        # workers>1 -> per-sample thread pool (see module docstring).
+        self.workers = max(int(workers), 0)
+        self._pool: Optional[ThreadPoolExecutor] = None
+
+    def _sample_pool(self) -> ThreadPoolExecutor:
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(
+                max_workers=self.workers, thread_name_prefix="yst-loader"
+            )
+        return self._pool
 
     def __len__(self) -> int:
         return int(np.ceil(len(self.indices) / self.batch_size))
@@ -111,8 +134,13 @@ class Loader:
         self, idxs: np.ndarray, batch_index: int = 0, valid: Optional[np.ndarray] = None
     ) -> Dict[str, np.ndarray]:
         imgs, boxes_list, labels_list = [], [], []
-        for i in idxs:
-            img, boxes, labels = self.ds[int(i)]
+        if self.workers > 1:
+            # executor.map preserves input order, so the batch layout is
+            # identical to the serial loop below (bit-exactness contract).
+            items = list(self._sample_pool().map(self.ds.__getitem__, [int(i) for i in idxs]))
+        else:
+            items = [self.ds[int(i)] for i in idxs]
+        for img, boxes, labels in items:
             imgs.append(img)
             boxes_list.append(_xywh2xyxy_np(boxes) if len(boxes) else boxes.reshape(0, 4))
             labels_list.append(labels)

@@ -8,9 +8,14 @@ padded, never reshaped), run through the fused bf16 u8->detections
 pipeline (``infer.Predictor``), and fanned back out per request.
 
 Design (TPU-first):
-  * one device-feeding worker thread — a single in-flight program keeps
-    the chip busy without interleaving competing launches (the axon
-    tunnel serializes them anyway);
+  * one device-feeding worker thread, PIPELINED: jax dispatch is async,
+    so the worker launches a batch, then decodes the next batch while the
+    device runs, deferring the blocking device->host fetch until either
+    ``inflight`` launches are outstanding or the request queue is empty —
+    the same overlap discipline as ``Predictor.predict_paths``
+    (infer.py). Under load the chip never waits for host decode; under
+    sparse traffic each batch still resolves immediately (no added
+    latency — the fetch happens as soon as the queue has no successor);
   * request queue -> batch former: waits up to ``max_wait_ms`` after the
     first queued request for the batch to fill, then pads the remainder
     (repeating the last row) so the device shape is static;
@@ -61,9 +66,15 @@ def parse_artifact_spec(spec: str):
 class BatchingServer:
     """Coalesces concurrent detect requests into fixed-shape device batches."""
 
-    def __init__(self, predictor, max_wait_ms: float = 5.0):
+    def __init__(self, predictor, max_wait_ms: float = 5.0,
+                 inflight: Optional[int] = None):
         self.predictor = predictor
         self.max_wait_s = max_wait_ms / 1e3
+        # outstanding device launches the worker may hold before blocking
+        # on the oldest fetch (decode/compute overlap depth); defaults to
+        # the predictor's own streaming depth
+        self.inflight = max(1, inflight if inflight is not None
+                            else getattr(predictor.cfg, "inflight", 2))
         self._q: "queue.Queue[Optional[tuple]]" = queue.Queue()
         # all stats mutations happen under the lock: counters are touched
         # from every HTTP handler thread AND the worker thread, and the
@@ -121,16 +132,21 @@ class BatchingServer:
 
     # -- device-feeding worker -------------------------------------------------
 
-    def _form_batch(self):
-        """Block for the first request, then wait up to max_wait_s for more
-        (up to the predictor's static batch size). None = shutdown."""
-        first = self._q.get()
+    def _form_batch(self, block: bool = True):
+        """Collect up to batch_size requests. Blocks for the first request
+        only when ``block`` (with in-flight work the worker polls instead,
+        so an idle queue resolves outstanding batches rather than stalling
+        them behind a wait for future traffic). After the first request,
+        waits up to max_wait_s for the batch to fill. Returns None on the
+        shutdown sentinel, [] when non-blocking and nothing is queued."""
+        try:
+            first = self._q.get(block=block)
+        except queue.Empty:
+            return []
         if first is None:
             return None
         entries = [first]
         B = self.predictor.cfg.batch_size
-        import time
-
         deadline = time.monotonic() + self.max_wait_s
         while len(entries) < B:
             timeout = deadline - time.monotonic()
@@ -146,64 +162,94 @@ class BatchingServer:
             entries.append(nxt)
         return entries
 
-    def _run(self):
+    def _launch(self, entries):
+        """Host decode + async device dispatch for one formed batch.
+        Returns (entries, meta, device_out) with the fetch NOT yet done,
+        or None if the whole batch already failed."""
         pred = self.predictor
         B = pred.cfg.batch_size
+        n = len(entries)
+        with self._lock:
+            self.stats["batches"] += 1
+            self.stats["batch_rows"] += n
+        # the native/cv2 decode tier reads files; spool the request
+        # bodies to tmp (RAM-backed on most deploys) and reuse the
+        # whole batched _prepare path, padding to the static shape
+        with tempfile.TemporaryDirectory() as td:
+            paths = []
+            for i, (blob, _) in enumerate(entries):
+                p = os.path.join(td, f"r{i}.bin")
+                with open(p, "wb") as fh:
+                    fh.write(blob)
+                paths.append(p)
+            try:
+                imgs, meta = pred._prepare(paths + [paths[-1]] * (B - n))
+            except Exception:  # noqa: BLE001
+                # a poisoned request must not fail its batch neighbors:
+                # isolate by decoding each row alone, substituting
+                # zeros (and failing that future) for undecodable ones
+                S, ch = pred.cfg.img_size, pred.in_ch
+                imgs = np.zeros((B, S, S, ch),
+                                np.uint8 if pred.cfg.u8_transfer else np.float32)
+                meta = np.zeros((B, 5), np.float32)
+                for i, (path, (_, fut)) in enumerate(zip(paths, entries)):
+                    try:
+                        im1, me1 = pred._prepare([path])
+                        imgs[i], meta[i] = im1[0], me1[0]
+                    except Exception as row_err:  # noqa: BLE001
+                        fut.set_exception(row_err)
+        try:
+            # async dispatch — the device starts while the worker moves on
+            # to the next batch's decode; the blocking fetch happens in
+            # _resolve (packed single-array output: one device->host fetch
+            # per batch instead of four, see infer.py)
+            return entries, meta, pred._infer_packed(pred.variables, imgs)
+        except Exception as err:  # noqa: BLE001 — dispatch-time failure
+            for _, fut in entries:
+                if not fut.done():
+                    fut.set_exception(err)
+            return None
+
+    def _resolve(self, launched):
+        """Blocking fetch of one launched batch; fan results out."""
+        pred = self.predictor
+        entries, meta, out = launched
+        try:
+            packed = np.asarray(out)  # one blocking fetch per batch
+            for j, (_, fut) in enumerate(entries):
+                if fut.done():  # its row failed to decode
+                    continue
+                row = packed[j]
+                v = row[:, 6] > 0.5
+                fut.set_result({
+                    "boxes": pred._unmap_boxes(
+                        row[v, :4], meta[j]).tolist(),
+                    "scores": row[v, 4].tolist(),
+                    "labels": row[v, 5].astype(np.int64).tolist(),
+                })
+        except Exception as err:  # noqa: BLE001 — device failure
+            for _, fut in entries:
+                if not fut.done():
+                    fut.set_exception(err)
+
+    def _run(self):
+        pending: "deque[tuple]" = deque()
+        shutting_down = False
         while True:
-            entries = self._form_batch()
-            if entries is None:
+            batch = [] if shutting_down else self._form_batch(block=not pending)
+            if batch is None:
+                shutting_down = True
+                batch = []
+            if batch:
+                launched = self._launch(batch)
+                if launched is not None:
+                    pending.append(launched)
+                if len(pending) < self.inflight and not shutting_down:
+                    continue  # decode the next batch while this one runs
+            if pending:
+                self._resolve(pending.popleft())
+            elif shutting_down:
                 return
-            n = len(entries)
-            with self._lock:
-                self.stats["batches"] += 1
-                self.stats["batch_rows"] += n
-            # the native/cv2 decode tier reads files; spool the request
-            # bodies to tmp (RAM-backed on most deploys) and reuse the
-            # whole batched _prepare path, padding to the static shape
-            with tempfile.TemporaryDirectory() as td:
-                paths = []
-                for i, (blob, _) in enumerate(entries):
-                    p = os.path.join(td, f"r{i}.bin")
-                    with open(p, "wb") as fh:
-                        fh.write(blob)
-                    paths.append(p)
-                try:
-                    imgs, meta = pred._prepare(paths + [paths[-1]] * (B - n))
-                except Exception:  # noqa: BLE001
-                    # a poisoned request must not fail its batch neighbors:
-                    # isolate by decoding each row alone, substituting
-                    # zeros (and failing that future) for undecodable ones
-                    S, ch = pred.cfg.img_size, pred.in_ch
-                    imgs = np.zeros((B, S, S, ch),
-                                    np.uint8 if pred.cfg.u8_transfer else np.float32)
-                    meta = np.zeros((B, 5), np.float32)
-                    for i, (path, (_, fut)) in enumerate(zip(paths, entries)):
-                        try:
-                            im1, me1 = pred._prepare([path])
-                            imgs[i], meta[i] = im1[0], me1[0]
-                        except Exception as row_err:  # noqa: BLE001
-                            fut.set_exception(row_err)
-                try:
-                    # packed single-array output: one device->host fetch
-                    # per batch instead of four (each blocking fetch over
-                    # the tunnel pays a full round trip; see infer.py)
-                    packed = np.asarray(
-                        pred._infer_packed(pred.variables, imgs))
-                    for j, (_, fut) in enumerate(entries):
-                        if fut.done():  # its row failed to decode
-                            continue
-                        row = packed[j]
-                        v = row[:, 6] > 0.5
-                        fut.set_result({
-                            "boxes": pred._unmap_boxes(
-                                row[v, :4], meta[j]).tolist(),
-                            "scores": row[v, 4].tolist(),
-                            "labels": row[v, 5].astype(np.int64).tolist(),
-                        })
-                except Exception as err:  # noqa: BLE001 — device failure
-                    for _, fut in entries:
-                        if not fut.done():
-                            fut.set_exception(err)
 
 
 def make_http_server(batching, host: str = "127.0.0.1",

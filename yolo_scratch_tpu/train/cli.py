@@ -34,7 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--imgsz", type=int, default=640)
     p.add_argument("--device", type=str, default="tpu", help="informational; JAX selects devices")
-    p.add_argument("--workers", type=int, default=4, help="loader prefetch depth")
+    p.add_argument("--workers", type=int, default=4,
+                   help="loader prefetch depth AND per-batch decode threads "
+                        "(reference num_workers analog; decode releases the GIL)")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--weight-decay", type=float, default=5e-4)
     p.add_argument("--val-split", type=float, default=0.2)
@@ -177,9 +179,11 @@ def main(argv=None):
         print(f"multi-scale buckets: {ms_sizes}")
     train_loader = Loader(ds, args.batch, max_gt=args.max_gt, shuffle=True,
                           seed=args.seed, indices=train_idx, prefetch=args.workers,
+                          workers=args.workers,
                           multiscale_sizes=ms_sizes)
     val_loader = (
-        Loader(ds, args.batch, max_gt=args.max_gt, indices=val_idx, prefetch=args.workers)
+        Loader(ds, args.batch, max_gt=args.max_gt, indices=val_idx, prefetch=args.workers,
+               workers=args.workers)
         if len(val_idx)
         else None
     )
