@@ -59,6 +59,13 @@ class TrainerConfig:
     # (docs/H2H.md). Training and deploy keep the fast default.
     val_matmul_precision: Optional[str] = "highest"
     max_val_batches: Optional[int] = None
+    # validate() defers device->host fetches and stacks them; flushing
+    # every K batches bounds the live device/host footprint to
+    # K x B x max_det rows instead of the whole val set (COCO-val-shaped
+    # measurement in docs/PERF.md "eval deferred-fetch memory") while
+    # still amortizing the per-fetch round trip (a WAN RTT over the axon
+    # tunnel). 128 batches x B=8 x max_det=300 x 10 thresholds ~ 25 MB.
+    val_fetch_chunk: int = 128
     save_dir: Optional[str] = None
     use_ema: bool = False
     eval_with_ema: bool = False
@@ -415,6 +422,35 @@ class Trainer:
             fetch = lambda x: np.asarray(_mh.process_allgather(x, tiled=True))
         else:
             fetch = np.asarray
+        def flush_deferred():
+            """Stacked fetch of the deferred batches (one transfer per
+            kind), then release the device arrays. Called every
+            cfg.val_fetch_chunk batches and once after the loop, so the
+            live footprint is bounded by the chunk, not the val set."""
+            if not deferred:
+                return
+            if self._match_thresholds is not None:
+                marks_h = np.asarray(jnp.stack([d[0] for d in deferred]))
+                scores_h = np.asarray(jnp.stack([d[1] for d in deferred]))
+                valid_h = np.asarray(jnp.stack([d[2] for d in deferred]))
+                for i, d in enumerate(deferred):
+                    sv = d[3]
+                    all_marks.append(marks_h[i][sv])
+                    all_scores.append(scores_h[i][sv])
+                    all_valid.append(valid_h[i][sv])
+            else:
+                boxes_h = np.asarray(jnp.stack([d[0] for d in deferred]))
+                scores_h = np.asarray(jnp.stack([d[1] for d in deferred]))
+                labels_h = np.asarray(jnp.stack([d[2] for d in deferred]))
+                valid_h = np.asarray(jnp.stack([d[3] for d in deferred]))
+                for i, d in enumerate(deferred):
+                    sv, targets = d[4], d[5]
+                    preds = detections_to_lists(
+                        boxes_h[i], scores_h[i], labels_h[i], valid_h[i])
+                    all_preds.extend(p for p, ok in zip(preds, sv) if ok)
+                    all_targets.extend(t for t, ok in zip(targets, sv) if ok)
+            deferred.clear()
+
         for batch in self.val_loader:
             if self.cfg.max_val_batches is not None and n >= self.cfg.max_val_batches:
                 break
@@ -455,28 +491,10 @@ class Trainer:
                     all_targets.extend(t for t, ok in zip(targets, sv) if ok)
                 else:
                     deferred.append((boxes, scores, labels, valid, sv, targets))
+            if len(deferred) >= max(self.cfg.val_fetch_chunk, 1):
+                flush_deferred()
             n += 1
-        if deferred and self._match_thresholds is not None:
-            # one stacked fetch per kind for the whole val set
-            marks_h = np.asarray(jnp.stack([d[0] for d in deferred]))
-            scores_h = np.asarray(jnp.stack([d[1] for d in deferred]))
-            valid_h = np.asarray(jnp.stack([d[2] for d in deferred]))
-            for i, d in enumerate(deferred):
-                sv = d[3]
-                all_marks.append(marks_h[i][sv])
-                all_scores.append(scores_h[i][sv])
-                all_valid.append(valid_h[i][sv])
-        elif deferred:
-            boxes_h = np.asarray(jnp.stack([d[0] for d in deferred]))
-            scores_h = np.asarray(jnp.stack([d[1] for d in deferred]))
-            labels_h = np.asarray(jnp.stack([d[2] for d in deferred]))
-            valid_h = np.asarray(jnp.stack([d[3] for d in deferred]))
-            for i, d in enumerate(deferred):
-                sv, targets = d[4], d[5]
-                preds = detections_to_lists(
-                    boxes_h[i], scores_h[i], labels_h[i], valid_h[i])
-                all_preds.extend(p for p, ok in zip(preds, sv) if ok)
-                all_targets.extend(t for t, ok in zip(targets, sv) if ok)
+        flush_deferred()
         loss_sums: Dict[str, float] = {}
         if metric_accum:
             keys = list(metric_accum[0].keys())
