@@ -120,12 +120,17 @@ def cmd_train_tpu(args):
     # throughput headline's own mode (bf16 fwd/bwd, f32 master weights),
     # whose 640 accuracy was previously unmeasured.
     mixed = os.environ.get("H2H_MIXED", "") == "1"
+    # H2H_TRAIN_SEED: trainer init/shuffle seed override (split stays the
+    # reference's seed-42). A repeat of an arm at a different train seed
+    # prices run-to-run variance — the error bar the precision-frontier
+    # deltas must clear before a mode difference is called real.
+    train_seed = int(os.environ.get("H2H_TRAIN_SEED", str(SEED)))
     cfg = TrainerConfig(
         epochs=EPOCHS, lr=LR, weight_decay=WD, warmup_epochs=3, clip_norm=10.0,
         val_conf=0.25, save_dir=str(TPU_RUN), use_ema=False,
         train_matmul_precision=train_prec, mixed_precision=mixed,
     )
-    trainer = Trainer(model, train_loader, val_loader, cfg, seed=SEED)
+    trainer = Trainer(model, train_loader, val_loader, cfg, seed=train_seed)
     result = trainer.fit(resume=args.resume)
     best = max(
         (h["val"] for h in result["history"] if h["val"]),
@@ -136,6 +141,7 @@ def cmd_train_tpu(args):
         "framework": "yolo_scratch_tpu",
         "train_matmul_precision": train_prec or "default",
         "mixed_precision": mixed,
+        "train_seed": train_seed,
         "epochs": EPOCHS, "batch": BATCH, "imgsz": IMGSZ, "lr": LR,
         "best_mAP50": result["best_mAP50"],
         "best_epoch_val": best,
