@@ -128,7 +128,11 @@ def test_legacy_loss_and_targets():
     model = YOLOScratchModel(num_classes=5, width_mult=0.25)
     x = np.random.RandomState(0).rand(B, S, S, 1).astype(np.float32)
     variables = model.init(jax.random.PRNGKey(0), x)
-    preds = model.apply(variables, x, train=False)
+    # jit the forward: eager per-op dispatch of the whole legacy model was
+    # ~2 min of this test's runtime on the 1-core host (and the compiled
+    # program lands in the persistent cache for later runs)
+    fwd = jax.jit(lambda v, xx: model.apply(v, xx, train=False))
+    preds = fwd(variables, x)
     assert len(preds) == 4
     assert preds[0]["bbox"].shape == (B, S // 4, S // 4, 4)
     assert preds[3]["classes"].shape == (B, S // 32, S // 32, 5)
@@ -150,7 +154,7 @@ def test_legacy_loss_and_targets():
 
     out = legacy_yolo_loss(preds, targets)
     assert np.isfinite(float(out["total_loss"]))
-    grads = jax.grad(
+    grads = jax.jit(jax.grad(
         lambda v: legacy_yolo_loss(model.apply(v, x, train=False), targets)["total_loss"]
-    )(variables)
+    ))(variables)
     assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree_util.tree_leaves(grads))

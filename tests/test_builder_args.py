@@ -15,8 +15,13 @@ CFG = "yolo_scratch_tpu/configs/yolo11_crater.yaml"
 def _flax_param_count(model, ch, img=64):
     import jax
 
-    variables = model.init(jax.random.PRNGKey(0), np.zeros((1, img, img, ch), np.float32))
-    return sum(np.asarray(x).size for x in jax.tree_util.tree_leaves(variables["params"]))
+    # eval_shape: param COUNTS need only the abstract init — no compile,
+    # no execution (a real m/x-scale init cost 40-50 s/case on this host)
+    variables = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jax.ShapeDtypeStruct((1, img, img, ch), np.float32))
+    return sum(int(np.prod(x.shape))
+               for x in jax.tree_util.tree_leaves(variables["params"]))
 
 
 @requires_reference

@@ -151,8 +151,12 @@ def test_param_count_matches_all_scales(reference_path, scale):
     n_torch = sum(p.numel() for p in tmodel.parameters())
 
     jmodel = build_yolo11(CFG, ch=1, nc=5, scale=scale)
-    variables = jmodel.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 1), np.float32))
-    n_flax = sum(np.asarray(x).size for x in jax.tree_util.tree_leaves(variables["params"]))
+    # abstract init: param counts need shapes only (no compile/execution)
+    variables = jax.eval_shape(
+        jmodel.init, jax.random.PRNGKey(0),
+        jax.ShapeDtypeStruct((1, 64, 64, 1), np.float32))
+    n_flax = sum(int(np.prod(x.shape))
+                 for x in jax.tree_util.tree_leaves(variables["params"]))
     assert n_torch - n_flax == 16  # frozen DFL conv
 
 

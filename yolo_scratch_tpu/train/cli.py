@@ -60,11 +60,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mixed-precision training (bf16 compute, f32 master weights)")
     p.add_argument("--train-precision", type=str, default=None,
                    choices=["default", "high", "highest"],
-                   help="matmul precision for the train step. TPU default "
-                        "runs f32 matmuls as fast bf16 MXU passes; "
-                        "'highest' recovers strict-IoU accuracy (closed "
-                        "the whole -0.029 mAP50-95 H2H gap at 640, "
-                        "docs/H2H.md) at near-zero cost for small scales")
+                   help="matmul precision for the train step (unset = "
+                        "'high', the measured-parity default: +0.001 "
+                        "mAP50-95 vs the f32 reference at 640/60ep, "
+                        "645 img/s @ B=128 — H2H640_frontier.json). "
+                        "'default' = the platform's fast bf16-pass f32 "
+                        "matmuls (780 img/s, known -0.032); 'highest' = "
+                        "full f32 passes (483 img/s, +0.003). For "
+                        "throughput prefer --bf16 (1,222 img/s, -0.010)")
     p.add_argument("--remat", action="store_true",
                    help="gradient checkpointing (activation recompute)")
     p.add_argument("--grad-accum", type=int, default=1,
@@ -230,8 +233,13 @@ def main(argv=None):
         mixed_precision=args.bf16,
         remat=args.remat,
         grad_accum=args.grad_accum,
+        # flag absent -> TrainerConfig's evidence-backed default ("high",
+        # the parity mode of the round-5 frontier); explicit "default"
+        # selects the platform's fast bf16-pass f32 matmuls (known -0.03
+        # mAP50-95 at 640, H2H640_frontier.json)
         train_matmul_precision=(
-            None if args.train_precision in (None, "default")
+            TrainerConfig.train_matmul_precision if args.train_precision is None
+            else None if args.train_precision == "default"
             else args.train_precision),
         bn_mode=args.bn_mode,
         pretrained=args.pretrained,

@@ -77,16 +77,17 @@ class TrainerConfig:
     # effective batch scales past HBM at one microbatch's activation
     # memory (steps.build_train_step_custom docstring for the semantics)
     grad_accum: int = 1
-    # TRAIN-step matmul precision (None = platform default = bf16 MXU
-    # passes on TPU — fastest). "highest" recovers strict-IoU accuracy:
-    # at 640/60ep it closed the entire −0.029 mAP50-95 gap to the
-    # f32-CPU reference (+0.003 best; docs/H2H.md, H2H640_60ep_hp.json).
-    # Measured step cost at n@640 B=128 (probe_train_precision.py,
-    # docs/PERF.md): f32-default 780 img/s, "high" 645, "highest" 483 —
-    # the accuracy mode costs ~38% of f32 throughput and is still ~10×
-    # the reference's T4. Not on the shard_map DDP (bn_mode='local')
-    # path.
-    train_matmul_precision: Optional[str] = None
+    # TRAIN-step matmul precision. Default "high" (bf16x3 MXU passes):
+    # the round-5 precision-accuracy frontier (H2H640_frontier.json,
+    # docs/H2H.md) measured, at 640/60ep vs the f32-CPU reference's
+    # 0.8895 mAP50-95: f32-platform-default −0.032 (780 img/s @ B=128),
+    # bf16-mixed −0.010 (1,222), "high" +0.001 (645), "highest" +0.003
+    # (483). "high" is parity at 1.33x the speed of "highest";
+    # f32-platform-default is dominated by bf16-mixed on BOTH axes (use
+    # --bf16 for throughput, not precision=default), so it is no longer
+    # the default. None = platform default (fastest f32, known −0.03).
+    # Not on the shard_map DDP (bn_mode='local') path.
+    train_matmul_precision: Optional[str] = "high"
     bn_mode: str = "sync"  # 'sync' (global-batch BN) | 'local' (DDP per-replica)
     # Final no-aug phase (YOLOX paper recipe: last ~15 epochs train with
     # mosaic/strong aug OFF; for YOLOX the L1 reg loss also turns ON).
