@@ -65,3 +65,19 @@ def test_precision_composes_with_grad_accum_and_bf16():
         grad_accum=2, matmul_precision="highest"))
     _, m = step(state, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_cli_precision_mapping_tracks_config_default():
+    """The CLI must not silently override the evidence-backed trainer
+    default: flag absent -> TrainerConfig.train_matmul_precision ('high'
+    per the round-5 frontier); explicit 'default' -> None (platform
+    fast path, the measured -0.032 A/B setting); explicit names pass
+    through."""
+    from yolo_scratch_tpu.train.cli import resolve_train_precision
+    from yolo_scratch_tpu.train.trainer import TrainerConfig
+
+    assert TrainerConfig.train_matmul_precision == "high"
+    assert resolve_train_precision(None) == "high"
+    assert resolve_train_precision("default") is None
+    assert resolve_train_precision("high") == "high"
+    assert resolve_train_precision("highest") == "highest"

@@ -18,6 +18,21 @@ from pathlib import Path
 import numpy as np
 
 
+def resolve_train_precision(arg):
+    """CLI ``--train-precision`` -> ``TrainerConfig.train_matmul_precision``.
+
+    Flag absent (None) -> the TrainerConfig default ('high', the parity
+    mode of the round-5 frontier, H2H640_frontier.json). Explicit
+    'default' -> None = the platform's fast bf16-pass f32 matmuls (known
+    −0.032 mAP50-95 at 640 — an A/B setting, not a recommendation).
+    """
+    from yolo_scratch_tpu.train.trainer import TrainerConfig
+
+    if arg is None:
+        return TrainerConfig.train_matmul_precision
+    return None if arg == "default" else arg
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Train YOLO (TPU-native)")
     p.add_argument("--data", type=str, default="synthetic",
@@ -233,14 +248,7 @@ def main(argv=None):
         mixed_precision=args.bf16,
         remat=args.remat,
         grad_accum=args.grad_accum,
-        # flag absent -> TrainerConfig's evidence-backed default ("high",
-        # the parity mode of the round-5 frontier); explicit "default"
-        # selects the platform's fast bf16-pass f32 matmuls (known -0.03
-        # mAP50-95 at 640, H2H640_frontier.json)
-        train_matmul_precision=(
-            TrainerConfig.train_matmul_precision if args.train_precision is None
-            else None if args.train_precision == "default"
-            else args.train_precision),
+        train_matmul_precision=resolve_train_precision(args.train_precision),
         bn_mode=args.bn_mode,
         pretrained=args.pretrained,
         final_epochs=args.final_epochs,
